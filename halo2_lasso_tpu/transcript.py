@@ -1,0 +1,134 @@
+"""Fiat-Shamir transcript, bit-compatible with the reference.
+
+Matches /root/reference/plonkish_backend/src/util/transcript.rs semantics:
+  * hash state absorbs field elements as 32-byte LITTLE-endian reprs
+    (`update_field_element` -> `to_repr()`, hash.rs:19-21);
+  * squeeze: h = keccak256(finalize+reset state); state.update(h);
+    challenge = int_le(h) mod p (transcript.rs:127-131, fe_mod_from_le_bytes);
+  * the proof byte stream stores field elements / EC coordinates BIG-endian
+    (repr reversed, transcript.rs:146-166);
+  * commitments absorb x then y base-field coordinates (transcript.rs:176-186).
+
+Field elements cross this boundary as canonical python ints (host domain);
+device arrays are converted at the call sites.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import List, Optional, Tuple
+
+from halo2_lasso_tpu.ops.keccak import Keccak256
+
+
+class TranscriptError(Exception):
+    pass
+
+
+class Keccak256Transcript:
+    """Write/read Fiat-Shamir transcript over a byte stream.
+
+    `scalar_modulus` is the field challenges live in (Fr); `base_modulus` the
+    commitment coordinate field (Fq). All values are canonical python ints.
+    """
+
+    def __init__(
+        self,
+        scalar_modulus: int,
+        base_modulus: Optional[int] = None,
+        proof: Optional[bytes] = None,
+    ):
+        self.scalar_modulus = scalar_modulus
+        self.base_modulus = base_modulus or scalar_modulus
+        self._state = Keccak256()
+        self._stream = io.BytesIO(proof if proof is not None else b"")
+        self._repr_bytes = 32
+
+    # ---- state absorption ----
+
+    def common_field_element(self, fe: int):
+        self._state.update(int(fe).to_bytes(self._repr_bytes, "little"))
+
+    def common_field_elements(self, fes):
+        for fe in fes:
+            self.common_field_element(fe)
+
+    def common_commitment(self, comm: Tuple[int, int]):
+        """Absorb an affine EC point (x, y) in base-field canonical ints.
+
+        NOTE: the reference rejects the identity here (coordinates() is None
+        for infinity); we mirror by asserting a non-identity affine point.
+        """
+        x, y = comm
+        assert not (x == 0 and y == 0), "identity commitment cannot be absorbed"
+        self._state.update(int(x).to_bytes(self._repr_bytes, "little"))
+        self._state.update(int(y).to_bytes(self._repr_bytes, "little"))
+
+    def common_commitments(self, comms):
+        for comm in comms:
+            self.common_commitment(comm)
+
+    # ---- squeezing ----
+
+    def squeeze_challenge(self) -> int:
+        h = self._state.finalize_reset()
+        self._state.update(h)
+        return int.from_bytes(h, "little") % self.scalar_modulus
+
+    def squeeze_challenges(self, n: int) -> List[int]:
+        return [self.squeeze_challenge() for _ in range(n)]
+
+    # ---- proof stream writes ----
+
+    def write_field_element(self, fe: int):
+        self.common_field_element(fe)
+        self._stream.write(int(fe).to_bytes(self._repr_bytes, "big"))
+
+    def write_field_elements(self, fes):
+        for fe in fes:
+            self.write_field_element(fe)
+
+    def write_commitment(self, comm: Tuple[int, int]):
+        self.common_commitment(comm)
+        x, y = comm
+        self._stream.write(int(x).to_bytes(self._repr_bytes, "big"))
+        self._stream.write(int(y).to_bytes(self._repr_bytes, "big"))
+
+    def write_commitments(self, comms):
+        for comm in comms:
+            self.write_commitment(comm)
+
+    # ---- proof stream reads ----
+
+    def _read_exact(self, n: int) -> bytes:
+        data = self._stream.read(n)
+        if len(data) != n:
+            raise TranscriptError("unexpected end of proof stream")
+        return data
+
+    def read_field_element(self) -> int:
+        fe = int.from_bytes(self._read_exact(self._repr_bytes), "big")
+        if fe >= self.scalar_modulus:
+            raise TranscriptError("invalid field element encoding in proof")
+        self.common_field_element(fe)
+        return fe
+
+    def read_field_elements(self, n: int) -> List[int]:
+        return [self.read_field_element() for _ in range(n)]
+
+    def read_commitment(self) -> Tuple[int, int]:
+        x = int.from_bytes(self._read_exact(self._repr_bytes), "big")
+        y = int.from_bytes(self._read_exact(self._repr_bytes), "big")
+        if x >= self.base_modulus or y >= self.base_modulus:
+            raise TranscriptError("invalid point encoding in proof")
+        # on-curve check happens at the PCS layer (needs curve params)
+        self.common_commitment((x, y))
+        return (x, y)
+
+    def read_commitments(self, n: int) -> List[Tuple[int, int]]:
+        return [self.read_commitment() for _ in range(n)]
+
+    # ---- proof extraction ----
+
+    def into_proof(self) -> bytes:
+        return self._stream.getvalue()

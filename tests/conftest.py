@@ -1,0 +1,20 @@
+"""Test configuration: force CPU platform with 8 virtual devices so multi-chip
+sharding tests run without TPU hardware (mirrors the driver's dryrun setup)."""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# The axon TPU plugin ignores JAX_PLATFORMS from the environment; force CPU
+# through the config so tests never pay the device-tunnel latency.
+jax.config.update("jax_platforms", "cpu")
