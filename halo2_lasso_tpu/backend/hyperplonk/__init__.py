@@ -1,0 +1,254 @@
+"""HyperPlonk backend: setup / preprocess / prove / verify.
+
+Orchestration mirrors /root/reference/plonkish_backend/src/backend/
+hyperplonk.rs:85-369; compute runs on device (witness tables, sumcheck,
+MSMs), Fiat-Shamir and pairings on host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from halo2_lasso_tpu.backend import PlonkishCircuit, PlonkishCircuitInfo
+from halo2_lasso_tpu.backend.hyperplonk import preprocessor, prover, verifier
+from halo2_lasso_tpu.expression import Expression
+from halo2_lasso_tpu.ops.bn254 import FQ_MODULUS, Fr
+from halo2_lasso_tpu.pcs.multilinear_kzg import (
+    KzgParams,
+    KzgProverParams,
+    KzgVerifierParams,
+    MultilinearKzg,
+)
+from halo2_lasso_tpu.transcript import Keccak256Transcript
+from halo2_lasso_tpu.utils.timer import timed
+
+
+def new_transcript(proof: Optional[bytes] = None) -> Keccak256Transcript:
+    return Keccak256Transcript(Fr.modulus, base_modulus=FQ_MODULUS, proof=proof)
+
+
+@dataclasses.dataclass
+class HyperPlonkProverParam:
+    pcs: KzgProverParams
+    num_instances: List[int]
+    num_witness_polys: List[int]
+    num_challenges: List[int]
+    lookups: list
+    num_permutation_z_polys: int
+    num_vars: int
+    expression: Expression
+    preprocess_polys: List[jnp.ndarray]
+    preprocess_comms: List[Tuple[int, int]]
+    permutation_polys: List[Tuple[int, jnp.ndarray]]
+    permutation_comms: List[Tuple[int, int]]
+
+
+@dataclasses.dataclass
+class HyperPlonkVerifierParam:
+    pcs: KzgVerifierParams
+    num_instances: List[int]
+    num_witness_polys: List[int]
+    num_challenges: List[int]
+    num_lookups: int
+    num_permutation_z_polys: int
+    num_vars: int
+    expression: Expression
+    preprocess_comms: List[Tuple[int, int]]
+    permutation_comms: List[Tuple[int, Tuple[int, int]]]
+
+
+class HyperPlonk:
+    Pcs = MultilinearKzg
+
+    @staticmethod
+    def setup(circuit_info: PlonkishCircuitInfo, rng: np.random.RandomState) -> KzgParams:
+        assert circuit_info.is_well_formed()
+        return MultilinearKzg.setup(1 << circuit_info.k, rng)
+
+    @staticmethod
+    @timed("preprocess")
+    def preprocess(
+        param: KzgParams, circuit_info: PlonkishCircuitInfo
+    ) -> Tuple[HyperPlonkProverParam, HyperPlonkVerifierParam]:
+        assert circuit_info.is_well_formed()
+        num_vars = circuit_info.k
+        pcs_pp, pcs_vp = MultilinearKzg.trim(param, 1 << num_vars)
+
+        preprocess_polys = [
+            jnp.asarray(Fr.encode(vals)) for vals in circuit_info.preprocess_polys
+        ]
+        preprocess_comms = MultilinearKzg.batch_commit(pcs_pp, preprocess_polys)
+
+        perm_poly_indices = circuit_info.permutation_polys()
+        perm_values = preprocessor.permutation_polys_values(
+            num_vars, perm_poly_indices, circuit_info.permutations
+        )
+        permutation_polys = [jnp.asarray(Fr.encode(v)) for v in perm_values]
+        permutation_comms = MultilinearKzg.batch_commit(pcs_pp, permutation_polys)
+
+        num_permutation_z_polys, expression = preprocessor.compose(circuit_info)
+
+        pp = HyperPlonkProverParam(
+            pcs=pcs_pp,
+            num_instances=list(circuit_info.num_instances),
+            num_witness_polys=list(circuit_info.num_witness_polys),
+            num_challenges=list(circuit_info.num_challenges),
+            lookups=list(circuit_info.lookups),
+            num_permutation_z_polys=num_permutation_z_polys,
+            num_vars=num_vars,
+            expression=expression,
+            preprocess_polys=preprocess_polys,
+            preprocess_comms=preprocess_comms,
+            permutation_polys=list(zip(perm_poly_indices, permutation_polys)),
+            permutation_comms=permutation_comms,
+        )
+        vp = HyperPlonkVerifierParam(
+            pcs=pcs_vp,
+            num_instances=list(circuit_info.num_instances),
+            num_witness_polys=list(circuit_info.num_witness_polys),
+            num_challenges=list(circuit_info.num_challenges),
+            num_lookups=len(circuit_info.lookups),
+            num_permutation_z_polys=num_permutation_z_polys,
+            num_vars=num_vars,
+            expression=expression,
+            preprocess_comms=preprocess_comms,
+            permutation_comms=list(zip(perm_poly_indices, permutation_comms)),
+        )
+        return pp, vp
+
+    @staticmethod
+    @timed("prove")
+    def prove(
+        pp: HyperPlonkProverParam,
+        circuit: PlonkishCircuit,
+        transcript: Keccak256Transcript,
+    ) -> None:
+        spec = Fr
+        p = spec.modulus
+        num_vars = pp.num_vars
+
+        instances = circuit.instances()
+        for num, inst in zip(pp.num_instances, instances):
+            assert len(inst) == num
+            for v in inst:
+                transcript.common_field_element(v)
+        instance_polys = [
+            jnp.asarray(spec.encode(prover.instance_poly_values(num_vars, inst)))
+            for inst in instances
+        ]
+
+        # Round 0..n: witness phases
+        witness_polys: List[jnp.ndarray] = []
+        witness_comms: List[Tuple[int, int]] = []
+        challenges: List[int] = []
+        for round_, (num_w, num_c) in enumerate(
+            zip(pp.num_witness_polys, pp.num_challenges)
+        ):
+            with timed.scope(f"witness_collector-{round_}"):
+                cols = circuit.synthesize(round_, challenges)
+                assert len(cols) == num_w
+                polys_r = [jnp.asarray(spec.encode(c)) for c in cols]
+            comms = MultilinearKzg.batch_commit(pp.pcs, polys_r)
+            transcript.write_commitments(comms)
+            witness_comms.extend(comms)
+            witness_polys.extend(polys_r)
+            challenges.extend(transcript.squeeze_challenges(num_c))
+
+        polys = instance_polys + pp.preprocess_polys + witness_polys
+
+        # Round n: beta, lookup m polys
+        beta = transcript.squeeze_challenge()
+        with timed.scope("lookup_compressed_polys"):
+            max_width = max((len(l) for l in pp.lookups), default=0)
+            betas = [pow(beta, i, p) for i in range(max_width)]
+            compressed = prover.lookup_compressed_polys(
+                pp.lookups, polys, challenges, betas
+            )
+        with timed.scope("lookup_m_polys"):
+            m_polys = prover.lookup_m_polys(compressed)
+        m_comms = MultilinearKzg.batch_commit(pp.pcs, m_polys)
+        transcript.write_commitments(m_comms)
+
+        # Round n+1: gamma, h polys + permutation z polys
+        gamma = transcript.squeeze_challenge()
+        with timed.scope("lookup_h_polys"):
+            h_polys = prover.lookup_h_polys(compressed, m_polys, gamma)
+        with timed.scope("permutation_z_polys"):
+            z_polys = prover.permutation_z_polys(
+                pp.num_permutation_z_polys,
+                pp.permutation_polys,
+                polys,
+                beta,
+                gamma,
+            )
+        hz_polys = h_polys + z_polys
+        hz_comms = MultilinearKzg.batch_commit(pp.pcs, hz_polys)
+        transcript.write_commitments(hz_comms)
+
+        # Round n+2: zero check
+        alpha = transcript.squeeze_challenge()
+        y = transcript.squeeze_challenges(num_vars)
+
+        all_polys = (
+            polys
+            + [poly for _, poly in pp.permutation_polys]
+            + m_polys
+            + hz_polys
+        )
+        challenges = challenges + [beta, gamma, alpha]
+        with timed.scope("zero_check"):
+            points, evals = prover.prove_zero_check(
+                len(pp.num_instances), pp.expression, all_polys, challenges, y, transcript
+            )
+
+        # PCS batch open
+        with timed.scope("pcs_batch_open"):
+            MultilinearKzg.batch_open(pp.pcs, all_polys, points, evals, transcript)
+
+    @staticmethod
+    @timed("verify")
+    def verify(
+        vp: HyperPlonkVerifierParam,
+        instances: Sequence[Sequence[int]],
+        transcript: Keccak256Transcript,
+    ) -> None:
+        num_vars = vp.num_vars
+        for num, inst in zip(vp.num_instances, instances):
+            assert len(inst) == num
+            for v in inst:
+                transcript.common_field_element(v)
+
+        witness_comms: List[Tuple[int, int]] = []
+        challenges: List[int] = []
+        for num_w, num_c in zip(vp.num_witness_polys, vp.num_challenges):
+            witness_comms.extend(transcript.read_commitments(num_w))
+            challenges.extend(transcript.squeeze_challenges(num_c))
+
+        beta = transcript.squeeze_challenge()
+        m_comms = transcript.read_commitments(vp.num_lookups)
+        gamma = transcript.squeeze_challenge()
+        hz_comms = transcript.read_commitments(
+            vp.num_lookups + vp.num_permutation_z_polys
+        )
+        alpha = transcript.squeeze_challenge()
+        y = transcript.squeeze_challenges(num_vars)
+
+        challenges = challenges + [beta, gamma, alpha]
+        points, evals = verifier.verify_zero_check(
+            num_vars, vp.expression, instances, challenges, y, transcript
+        )
+
+        dummy = (0, 0)
+        comms = (
+            [dummy] * len(vp.num_instances)
+            + list(vp.preprocess_comms)
+            + witness_comms
+            + [c for _, c in vp.permutation_comms]
+            + m_comms
+            + hz_comms
+        )
+        MultilinearKzg.batch_verify(vp.pcs, comms, points, evals, transcript)

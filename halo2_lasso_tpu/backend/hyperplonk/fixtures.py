@@ -1,0 +1,210 @@
+"""Test/bench circuit fixtures: vanilla plonk with/without lookups.
+
+Mirrors /root/reference/plonkish_backend/src/backend/hyperplonk/util.rs —
+the same column layouts and constraint shapes, with random satisfied
+assignments including random copy cycles and lookup rows.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from halo2_lasso_tpu.backend import MockCircuit, PlonkishCircuitInfo
+from halo2_lasso_tpu.backend.hyperplonk.prover import instance_poly_values, row_mapping
+from halo2_lasso_tpu.expression import Expression
+from halo2_lasso_tpu.ops.bn254 import Fr
+from halo2_lasso_tpu.poly.bh import BooleanHypercube
+
+P = Fr.modulus
+
+
+def _rand_fe(rng) -> int:
+    return int.from_bytes(rng.bytes(40), "little") % P
+
+
+def vanilla_plonk_circuit_info(
+    num_vars: int,
+    num_instances: int,
+    preprocess_polys: List[List[int]],
+    permutations: List[List[Tuple[int, int]]],
+) -> PlonkishCircuitInfo:
+    """util.rs:30-49: columns [pi, q_l, q_r, q_m, q_o, q_c, w_l, w_r, w_o]."""
+    pi, q_l, q_r, q_m, q_o, q_c, w_l, w_r, w_o = [Expression.poly(i) for i in range(9)]
+    return PlonkishCircuitInfo(
+        k=num_vars,
+        num_instances=[num_instances],
+        preprocess_polys=preprocess_polys,
+        num_witness_polys=[3],
+        num_challenges=[0],
+        constraints=[q_l * w_l + q_r * w_r + q_m * w_l * w_r + q_o * w_o + q_c + pi],
+        lookups=[],
+        permutations=permutations,
+        max_degree=4,
+    )
+
+
+def vanilla_plonk_with_lookup_circuit_info(
+    num_vars: int,
+    num_instances: int,
+    preprocess_polys: List[List[int]],
+    permutations: List[List[Tuple[int, int]]],
+) -> PlonkishCircuitInfo:
+    """util.rs:63-86: columns [pi, q_l, q_r, q_m, q_o, q_c, q_lookup,
+    t_l, t_r, t_o, w_l, w_r, w_o]."""
+    (pi, q_l, q_r, q_m, q_o, q_c, q_lookup, t_l, t_r, t_o, w_l, w_r, w_o) = [
+        Expression.poly(i) for i in range(13)
+    ]
+    return PlonkishCircuitInfo(
+        k=num_vars,
+        num_instances=[num_instances],
+        preprocess_polys=preprocess_polys,
+        num_witness_polys=[3],
+        num_challenges=[0],
+        constraints=[q_l * w_l + q_r * w_r + q_m * w_l * w_r + q_o * w_o + q_c + pi],
+        lookups=[
+            [(q_lookup * w_l, t_l), (q_lookup * w_r, t_r), (q_lookup * w_o, t_o)]
+        ],
+        permutations=permutations,
+        max_degree=4,
+    )
+
+
+class Permutation:
+    """util.rs:376-405 cycle builder."""
+
+    def __init__(self):
+        self.cycles: List[set] = []
+        self.cycle_idx = {}
+
+    def copy(self, lhs, rhs):
+        idx = self.cycle_idx.get(lhs)
+        if idx is not None:
+            self.cycles[idx].add(rhs)
+            self.cycle_idx[rhs] = idx
+        else:
+            idx = len(self.cycles)
+            self.cycles.append({lhs, rhs})
+            self.cycle_idx[lhs] = idx
+            self.cycle_idx[rhs] = idx
+
+    def into_cycles(self):
+        return [sorted(c) for c in self.cycles]
+
+
+def rand_vanilla_plonk_circuit(num_vars: int, preprocess_rng, witness_rng):
+    """util.rs:100-169: random satisfied vanilla plonk circuit with random
+    copy constraints."""
+    size = 1 << num_vars
+    polys = [[0] * size for _ in range(9)]
+
+    instances = [_rand_fe(witness_rng) for _ in range(num_vars)]
+    polys[0] = instance_poly_values(num_vars, instances)
+
+    permutation = Permutation()
+    for poly in (6, 7, 8):
+        permutation.copy((poly, 1), (poly, 1))
+    for idx in range(size - 1):
+        if preprocess_rng.randint(2) == 0 and idx > 1:
+            l_copy = (6 + preprocess_rng.randint(3), 1 + preprocess_rng.randint(idx - 1) if idx > 1 else 1)
+            r_copy = (6 + preprocess_rng.randint(3), 1 + preprocess_rng.randint(idx - 1) if idx > 1 else 1)
+            permutation.copy(l_copy, (6, idx))
+            permutation.copy(r_copy, (7, idx))
+            w_l = polys[l_copy[0]][l_copy[1]]
+            w_r = polys[r_copy[0]][r_copy[1]]
+        else:
+            w_l, w_r = _rand_fe(witness_rng), _rand_fe(witness_rng)
+        q_c = _rand_fe(preprocess_rng)
+        if preprocess_rng.randint(2) == 0:
+            values = [
+                (1, 1),
+                (2, 1),
+                (4, P - 1),
+                (5, q_c),
+                (6, w_l),
+                (7, w_r),
+                (8, (w_l + w_r + q_c + polys[0][idx]) % P),
+            ]
+        else:
+            values = [
+                (3, 1),
+                (4, P - 1),
+                (5, q_c),
+                (6, w_l),
+                (7, w_r),
+                (8, (w_l * w_r + q_c + polys[0][idx]) % P),
+            ]
+        for poly, value in values:
+            polys[poly][idx] = value
+
+    circuit_info = vanilla_plonk_circuit_info(
+        num_vars, len(instances), polys[1:6], permutation.into_cycles()
+    )
+    return circuit_info, MockCircuit([instances], polys[6:9])
+
+
+def rand_vanilla_plonk_with_lookup_circuit(num_vars: int, preprocess_rng, witness_rng):
+    """util.rs:216-316."""
+    size = 1 << num_vars
+    polys = [[0] * size for _ in range(13)]
+
+    for t in (7, 8, 9):
+        col = [0, 0] + [_rand_fe(preprocess_rng) for _ in range(size - 2)]
+        polys[t] = col[:size]
+
+    instances = [_rand_fe(witness_rng) for _ in range(num_vars)]
+    polys[0] = instance_poly_values(num_vars, instances)
+    bh_seq = BooleanHypercube(num_vars).iter_indices()
+    instance_rows = set(int(b) for b in bh_seq[: num_vars + 1])
+
+    permutation = Permutation()
+    for poly in (10, 11, 12):
+        permutation.copy((poly, 1), (poly, 1))
+    for idx in range(size - 1):
+        use_copy = preprocess_rng.randint(2) == 0 and idx > 1
+        if use_copy:
+            l_copy = (10 + preprocess_rng.randint(3), 1 + preprocess_rng.randint(idx - 1))
+            r_copy = (10 + preprocess_rng.randint(3), 1 + preprocess_rng.randint(idx - 1))
+            permutation.copy(l_copy, (10, idx))
+            permutation.copy(r_copy, (11, idx))
+            w_l = polys[l_copy[0]][l_copy[1]]
+            w_r = polys[r_copy[0]][r_copy[1]]
+        else:
+            w_l, w_r = _rand_fe(witness_rng), _rand_fe(witness_rng)
+        q_c = _rand_fe(preprocess_rng)
+        if use_copy or idx in instance_rows:
+            if preprocess_rng.randint(2) == 0:
+                values = [
+                    (1, 1),
+                    (2, 1),
+                    (4, P - 1),
+                    (5, q_c),
+                    (10, w_l),
+                    (11, w_r),
+                    (12, (w_l + w_r + q_c + polys[0][idx]) % P),
+                ]
+            else:
+                values = [
+                    (3, 1),
+                    (4, P - 1),
+                    (5, q_c),
+                    (10, w_l),
+                    (11, w_r),
+                    (12, (w_l * w_r + q_c + polys[0][idx]) % P),
+                ]
+        else:
+            t_idx = 1 + witness_rng.randint(size - 1)
+            values = [
+                (6, 1),
+                (10, polys[7][t_idx]),
+                (11, polys[8][t_idx]),
+                (12, polys[9][t_idx]),
+            ]
+        for poly, value in values:
+            polys[poly][idx] = value
+
+    circuit_info = vanilla_plonk_with_lookup_circuit_info(
+        num_vars, len(instances), polys[1:10], permutation.into_cycles()
+    )
+    return circuit_info, MockCircuit([instances], polys[10:13])

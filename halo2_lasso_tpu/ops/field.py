@@ -247,6 +247,23 @@ def _mont_reduce(spec: FieldSpec, t: jnp.ndarray) -> jnp.ndarray:
     return jnp.where((borrow == 0)[..., None], d, r)
 
 
+def _anti_diagonal_sums(M: jnp.ndarray) -> jnp.ndarray:
+    """M: (..., L, L) u32 -> (..., 2L-1) with out[k] = sum_{i+j=k} M[i, j].
+
+    Skew trick: pad rows to 2L, drop the trailing L entries of the flattened
+    buffer and re-view as (L, 2L-1); row i lands shifted by i, so a single
+    axis(-2) sum produces all anti-diagonals. ~5 XLA ops instead of the
+    2L pad+add chain — keeps fused kernels (and compile times) small.
+    """
+    L = M.shape[-1]
+    batch = M.shape[:-2]
+    pads = [(0, 0)] * len(batch) + [(0, 0), (0, L)]
+    Mp = jnp.pad(M, pads)  # (..., L, 2L)
+    flat = Mp.reshape(batch + (2 * L * L,))[..., : L * (2 * L - 1)]
+    C = flat.reshape(batch + (L, 2 * L - 1))
+    return jnp.sum(C, axis=-2, dtype=jnp.uint32)  # terms < 2^16, count L -> < 2^20
+
+
 def mont_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Montgomery product a*b*R^{-1} mod p.
 
@@ -258,11 +275,11 @@ def mont_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     a, b = jnp.broadcast_arrays(a, b)
     batch = a.shape[:-1]
 
-    t = jnp.zeros(batch + (T,), dtype=jnp.uint32)
-    for i in range(L):
-        p = a[..., i : i + 1] * b  # (..., L), each < 2^32
-        t = t + _shift_pad(p & LIMB_MASK, i, T)
-        t = t + _shift_pad(p >> LIMB_BITS, i + 1, T)
+    P = a[..., :, None] * b[..., None, :]  # (..., L, L), each < 2^32
+    lo = _anti_diagonal_sums(P & LIMB_MASK)  # (..., 2L-1)
+    hi = _anti_diagonal_sums(P >> LIMB_BITS)
+    zero1 = jnp.zeros(batch + (1,), dtype=jnp.uint32)
+    t = jnp.concatenate([lo, zero1], axis=-1) + jnp.concatenate([zero1, hi], axis=-1)
     return _mont_reduce(spec, t)
 
 

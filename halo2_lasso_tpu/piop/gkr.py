@@ -1,0 +1,202 @@
+"""GKR for batched fractional sumchecks ([PH23] §3), TPU-native.
+
+Protocol mirrors /root/reference/plonkish_backend/src/piop/gkr/
+fractional_sum_check.rs: prove/verify claims sum_b p_i(b)/q_i(b) via a
+layered circuit p' = p_l*q_r + p_r*q_l, q' = q_l*q_r (split on the HIGHEST
+variable), one batched degree-3 sumcheck per layer descending, and a mu-fold
+to push the claim one layer down. A pure grand product is the q-side with
+p = 0 — this is the memory-checking engine used by Lasso.
+
+Layer construction is fully vectorized on device; the per-layer sumcheck is
+the shared EvaluationsProver kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from halo2_lasso_tpu.expression import Expression, Query
+from halo2_lasso_tpu.ops import field as F
+from halo2_lasso_tpu.ops.bn254 import Fr
+from halo2_lasso_tpu.piop import sum_check
+from halo2_lasso_tpu.transcript import Keccak256Transcript
+
+
+class GkrError(Exception):
+    pass
+
+
+_expr_cache: Dict[int, Expression] = {}
+
+
+def sum_check_expression(num_batching: int) -> Expression:
+    """distribute_powers([p_l q_r + p_r q_l, q_l q_r]_i, gamma) * eq
+    (fractional_sum_check.rs:272-283)."""
+    if num_batching in _expr_cache:
+        return _expr_cache[num_batching]
+    exprs = []
+    for i in range(num_batching):
+        p_l = Expression.poly(4 * i)
+        p_r = Expression.poly(4 * i + 1)
+        q_l = Expression.poly(4 * i + 2)
+        q_r = Expression.poly(4 * i + 3)
+        exprs.append(p_l * q_r + p_r * q_l)
+        exprs.append(q_l * q_r)
+    e = Expression.distribute_powers(exprs, Expression.challenge(0)) * Expression.eq_xy(0)
+    _expr_cache[num_batching] = e
+    return e
+
+
+def _sum_check_claim(p_ys: Sequence[int], q_ys: Sequence[int], gamma: int, p: int) -> int:
+    acc = 0
+    power = 1
+    for pv, qv in zip(p_ys, q_ys):
+        acc = (acc + power * pv) % p
+        power = power * gamma % p
+        acc = (acc + power * qv) % p
+        power = power * gamma % p
+    return acc
+
+
+def _layer_down_claim(evals: Sequence[int], mu: int, p: int) -> Tuple[List[int], List[int]]:
+    p_xs, q_xs = [], []
+    for i in range(0, len(evals), 4):
+        p_l, p_r, q_l, q_r = evals[i : i + 4]
+        p_xs.append((p_l + mu * (p_r - p_l)) % p)
+        q_xs.append((q_l + mu * (q_r - q_l)) % p)
+    return p_xs, q_xs
+
+
+@jax.jit
+def _layer_up(polys: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    """[p_l, p_r, q_l, q_r] per batch -> next layer's 4-tuples."""
+    spec = Fr
+    out = []
+    for i in range(0, len(polys), 4):
+        p_l, p_r, q_l, q_r = polys[i : i + 4]
+        p_new = F.add(
+            spec, F.mont_mul(spec, p_l, q_r), F.mont_mul(spec, p_r, q_l)
+        )
+        q_new = F.mont_mul(spec, q_l, q_r)
+        mid = p_new.shape[0] // 2
+        out.extend([p_new[:mid], p_new[mid:], q_new[:mid], q_new[mid:]])
+    return out
+
+
+def prove_fractional_sum_check(
+    claimed_p_0s: Sequence[Optional[int]],
+    claimed_q_0s: Sequence[Optional[int]],
+    ps: Sequence[jnp.ndarray],
+    qs: Sequence[jnp.ndarray],
+    transcript: Keccak256Transcript,
+) -> Tuple[List[int], List[int], List[int]]:
+    """fractional_sum_check.rs:89-190. ps/qs: device (2^n, L) arrays.
+    Returns (p evals at x, q evals at x, x)."""
+    spec = Fr
+    p = spec.modulus
+    num_batching = len(ps)
+    assert num_batching and len(qs) == num_batching == len(claimed_p_0s) == len(claimed_q_0s)
+    num_vars = ps[0].shape[0].bit_length() - 1
+
+    # bottom layer: split each p/q on the highest variable
+    layer: List[jnp.ndarray] = []
+    for p_arr, q_arr in zip(ps, qs):
+        mid = p_arr.shape[0] // 2
+        layer.extend([p_arr[:mid], p_arr[mid:], q_arr[:mid], q_arr[mid:]])
+    layers = [layer]
+    while layers[-1][0].shape[0] > 1:
+        layers.append(_layer_up(layers[-1]))
+
+    # top-layer claims
+    top = layers[-1]
+    p_0s, q_0s = [], []
+    for i in range(num_batching):
+        p_l, p_r, q_l, q_r = [
+            int(spec.decode(np.asarray(top[4 * i + j]))[0]) for j in range(4)
+        ]
+        p_0s.append((p_l * q_r + p_r * q_l) % p)
+        q_0s.append(q_l * q_r % p)
+    for claimed, computed in ((claimed_p_0s, p_0s), (claimed_q_0s, q_0s)):
+        for cl, co in zip(claimed, computed):
+            if cl is not None:
+                transcript.common_field_element(co)
+            else:
+                transcript.write_field_element(co)
+
+    expression = sum_check_expression(num_batching)
+
+    claimed_p_ys, claimed_q_ys = p_0s, q_0s
+    y: List[int] = []
+    for layer in reversed(layers):
+        nv = layer[0].shape[0].bit_length() - 1
+        if nv == 0:
+            x = []
+            evals = [int(spec.decode(np.asarray(arr[0]))[0]) for arr in layer]
+        else:
+            gamma = transcript.squeeze_challenge()
+            claim = _sum_check_claim(claimed_p_ys, claimed_q_ys, gamma, p)
+            vp = sum_check.VirtualPolynomial(expression, layer, [gamma], [y])
+            x, evals = sum_check.prove(spec, nv, vp, claim, transcript)
+        transcript.write_field_elements(evals)
+        mu = transcript.squeeze_challenge()
+        claimed_p_ys, claimed_q_ys = _layer_down_claim(evals, mu, p)
+        x.append(mu)
+        y = x
+
+    return claimed_p_ys, claimed_q_ys, y
+
+
+def verify_fractional_sum_check(
+    num_vars: int,
+    claimed_p_0s: Sequence[Optional[int]],
+    claimed_q_0s: Sequence[Optional[int]],
+    transcript: Keccak256Transcript,
+) -> Tuple[List[int], List[int], List[int]]:
+    """fractional_sum_check.rs:193-270."""
+    spec = Fr
+    p = spec.modulus
+    num_batching = len(claimed_p_0s)
+    assert num_batching and len(claimed_q_0s) == num_batching
+
+    p_0s, q_0s = [], []
+    for claimed, out in ((claimed_p_0s, p_0s), (claimed_q_0s, q_0s)):
+        for cl in claimed:
+            if cl is not None:
+                transcript.common_field_element(cl)
+                out.append(cl % p)
+            else:
+                out.append(transcript.read_field_element())
+
+    expression = sum_check_expression(num_batching)
+
+    claimed_p_ys, claimed_q_ys = p_0s, q_0s
+    y: List[int] = []
+    for nv in range(num_vars):
+        if nv == 0:
+            evals = transcript.read_field_elements(4 * num_batching)
+            for i, (cp, cq) in enumerate(zip(claimed_p_ys, claimed_q_ys)):
+                p_l, p_r, q_l, q_r = evals[4 * i : 4 * i + 4]
+                if cp != (p_l * q_r + p_r * q_l) % p or cq != q_l * q_r % p:
+                    raise GkrError("unmatched sum_check output (top layer)")
+            x = []
+        else:
+            gamma = transcript.squeeze_challenge()
+            claim = _sum_check_claim(claimed_p_ys, claimed_q_ys, gamma, p)
+            x_eval, x = sum_check.verify(p, nv, expression.degree, claim, transcript)
+            evals = transcript.read_field_elements(4 * num_batching)
+            eval_map = {Query(i, 0): v for i, v in enumerate(evals)}
+            got = sum_check.evaluate_at_point(
+                expression, p, nv, eval_map, [gamma], [y], x
+            )
+            if got != x_eval:
+                raise GkrError("unmatched sum_check output")
+        mu = transcript.squeeze_challenge()
+        claimed_p_ys, claimed_q_ys = _layer_down_claim(evals, mu, p)
+        x.append(mu)
+        y = x
+
+    return claimed_p_ys, claimed_q_ys, y

@@ -1,0 +1,57 @@
+"""End-to-end HyperPlonk golden round trips (mirror of the reference
+`run_plonkish_backend` harness, backend.rs:202-241, at CI-friendly sizes):
+setup -> preprocess -> prove -> verify must accept; tampered proofs must not.
+"""
+
+import numpy as np
+import pytest
+
+from halo2_lasso_tpu.backend.hyperplonk import HyperPlonk, new_transcript
+from halo2_lasso_tpu.backend.hyperplonk.fixtures import (
+    rand_vanilla_plonk_circuit,
+    rand_vanilla_plonk_with_lookup_circuit,
+)
+
+
+def run_backend(num_vars, circuit_fn):
+    circuit_info, circuit = circuit_fn(
+        num_vars, np.random.RandomState(num_vars), np.random.RandomState(100 + num_vars)
+    )
+    param = HyperPlonk.setup(circuit_info, np.random.RandomState(0))
+    pp, vp = HyperPlonk.preprocess(param, circuit_info)
+
+    tw = new_transcript()
+    HyperPlonk.prove(pp, circuit, tw)
+    proof = tw.into_proof()
+
+    tr = new_transcript(proof)
+    HyperPlonk.verify(vp, circuit.instances(), tr)
+    return proof, vp, circuit
+
+
+@pytest.mark.parametrize("num_vars", [2, 3, 4])
+def test_vanilla_plonk(num_vars):
+    run_backend(num_vars, rand_vanilla_plonk_circuit)
+
+
+@pytest.mark.parametrize("num_vars", [2, 4])
+def test_vanilla_plonk_with_lookup(num_vars):
+    run_backend(num_vars, rand_vanilla_plonk_with_lookup_circuit)
+
+
+def test_tampered_proof_rejected():
+    proof, vp, circuit = run_backend(3, rand_vanilla_plonk_circuit)
+    bad = bytearray(proof)
+    bad[len(bad) // 2] ^= 1
+    tr = new_transcript(bytes(bad))
+    with pytest.raises(Exception):
+        HyperPlonk.verify(vp, circuit.instances(), tr)
+
+
+def test_wrong_instance_rejected():
+    proof, vp, circuit = run_backend(3, rand_vanilla_plonk_circuit)
+    instances = [list(circuit.instances()[0])]
+    instances[0][0] = (instances[0][0] + 1) % (2**64)
+    tr = new_transcript(proof)
+    with pytest.raises(Exception):
+        HyperPlonk.verify(vp, instances, tr)
