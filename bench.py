@@ -1,0 +1,97 @@
+"""Benchmark driver: prints ONE JSON line
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Flagship metric (round 1): sumcheck zero-check prover throughput — hypercube
+points processed per second through the fused round kernel (message at
+t=1..d + fold) on the vanilla-plonk expression, the hottest loop of the
+HyperPlonk prover (reference: piop/sum_check/classic/eval.rs round loop,
+benchmarked there by benches/zero_check.rs).
+
+The reference publishes no numbers (BASELINE.md); vs_baseline is reported
+against a pinned reference-CPU estimate documented in BASELINE.md: a
+multithreaded CPU prover at ~2^22 points/s per round sweep for this
+expression (typical for halo2-family CPU sumcheck provers on 16 cores).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# persistent compile cache (compiles dominate first run)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+K = int(os.environ.get("BENCH_K", "16"))
+REFERENCE_POINTS_PER_S = 4.2e6  # pinned CPU estimate, see BASELINE.md
+
+
+def main():
+    from __graft_entry__ import _flagship_round
+    from halo2_lasso_tpu.expression import evaluate_jnp
+    from halo2_lasso_tpu.ops import field as F
+    from halo2_lasso_tpu.ops.bn254 import Fr
+    from halo2_lasso_tpu.poly import multilinear as mle
+
+    expression, arrays, challenge = _flagship_round(K)
+    degree = expression.degree
+
+    def leaf_builder(values):
+        def leaf(kind, arg):
+            if kind == "eq_xy":
+                return values[("eq", arg)]
+            if kind == "poly":
+                return values[("poly", arg.poly, arg.rotation)]
+            raise ValueError(kind)
+
+        return leaf
+
+    @jax.jit
+    def round_step(arrays, challenge):
+        e1 = {k: v[1::2] for k, v in arrays.items()}
+        stepv = {k: F.sub(Fr, e1[k], arrays[k][0::2]) for k in arrays}
+        msgs = []
+        values = e1
+        for t in range(1, degree + 1):
+            if t > 1:
+                values = {k: F.add(Fr, values[k], stepv[k]) for k in values}
+            term = evaluate_jnp(Fr, expression, leaf_builder(values), [])
+            msgs.append(F.sum_reduce(Fr, term))
+        folded = {k: mle.fix_var(Fr, v, challenge) for k, v in arrays.items()}
+        return jnp.stack(msgs), folded
+
+    # warm-up / compile
+    msg, folded = round_step(arrays, challenge)
+    msg.block_until_ready()
+
+    # timed runs
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        msg, _ = round_step(arrays, challenge)
+    msg.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    points_per_s = (1 << K) / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"sumcheck_round_points_per_s_k{K}",
+                "value": round(points_per_s, 1),
+                "unit": "hypercube points/s (vanilla-plonk round msg+fold)",
+                "vs_baseline": round(points_per_s / REFERENCE_POINTS_PER_S, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,350 @@
+"""Lasso lookup argument (Surge decomposition + grand-product memory check).
+
+The reference snapshot predates its Lasso code (SURVEY.md §0); this module
+implements the Lasso protocol (eprint 2023/1216) from the paper, built on
+this repo's primitives: the EvaluationsProver sumcheck, the GKR
+fractional-sumcheck engine run in pure-grand-product mode (p = 0), and the
+multilinear-KZG PCS with additive batch openings.
+
+Proof layout (this framework's own format, Keccak256 Fiat-Shamir):
+  1. commit a (lookup outputs, log m vars), dim_j (chunks), E_j (reads),
+     read_ts_j (all log m vars), final_cts_j (log N_sub vars);
+  2. squeeze r (log m challenges); write v = a~(r);
+  3. primary sumcheck:  sum_i eq(r, i) * g(E(i)) = v;
+  4. squeeze gamma, tau; batched grand products via GKR:
+       one batch for the 2*alpha m-sized products  (RS_j, WS_j),
+       one batch for the 2*alpha N-sized products  (S_init_j, S_final_j);
+     multiset check  prod RS_j * prod S_final_j == prod WS_j * prod S_init_j;
+  5. write PCS openings: batch-open the m-sized polys at {primary point,
+     GKR m-point}; batch-open the final_cts polys at {GKR N-point}.
+
+Fingerprints: h(addr, val, ts) = ts*gamma^2 + val*gamma + addr - tau.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from halo2_lasso_tpu.expression import Expression, Query
+from halo2_lasso_tpu.lasso.tables import LassoTable
+from halo2_lasso_tpu.ops import field as F
+from halo2_lasso_tpu.ops.bn254 import Fr
+from halo2_lasso_tpu.pcs import Evaluation
+from halo2_lasso_tpu.pcs.multilinear_kzg import MultilinearKzg
+from halo2_lasso_tpu.piop import gkr, sum_check
+from halo2_lasso_tpu.poly import multilinear as mle
+from halo2_lasso_tpu.utils.timer import timed
+
+P = Fr.modulus
+
+
+class LassoError(Exception):
+    pass
+
+
+def _decode_scalar(arr) -> int:
+    return int(Fr.decode(np.asarray(arr))[None][0])
+
+
+@dataclasses.dataclass
+class LassoWitness:
+    """Host-side witness tables (numpy) + device encodings."""
+
+    num_lookup_vars: int  # log m
+    dims: List[np.ndarray]  # per chunk: (m,) int64
+    e_vals: List[np.ndarray]  # per memory: (m,) object ints
+    read_ts: List[np.ndarray]  # per memory: (m,) int64
+    final_cts: List[np.ndarray]  # per memory: (N_sub,) int64
+    outputs: np.ndarray  # (m,) object ints
+
+
+def build_witness(table: LassoTable, indices: Sequence[int]) -> LassoWitness:
+    """Compute dim/E/read_ts/final_cts/outputs for the lookup indices.
+
+    read_ts via sort + segment ranks (the TPU-friendly replacement for the
+    sequential per-address counters of classic offline memory checking).
+    """
+    m = len(indices)
+    assert m & (m - 1) == 0, "pad lookups to a power of two"
+    idx_arr = np.asarray(indices, dtype=np.int64)
+    dims = table.chunk_indices_np(idx_arr)
+    n_sub = 1 << table.memories[0].subtable.index_bits
+
+    e_vals, read_ts, final_cts = [], [], []
+    for mem in table.memories:
+        addr = dims[mem.chunk]
+        tbl = mem.subtable.values()
+        e_vals.append(tbl[addr])
+        order = np.argsort(addr, kind="stable")
+        sorted_addr = addr[order]
+        # rank within each address group = read timestamp
+        boundaries = np.nonzero(np.diff(sorted_addr))[0] + 1
+        starts = np.concatenate([[0], boundaries])
+        counts = np.diff(np.concatenate([starts, [m]]))
+        group_start = np.repeat(starts, counts)
+        ranks = np.arange(m, dtype=np.int64) - group_start
+        ts = np.empty(m, dtype=np.int64)
+        ts[order] = ranks
+        read_ts.append(ts)
+        fc = np.zeros(n_sub, dtype=np.int64)
+        uniq = sorted_addr[starts]
+        fc[uniq] = counts
+        final_cts.append(fc)
+
+    # outputs via g over E values (host ints)
+    from halo2_lasso_tpu.expression import evaluate_host
+
+    outputs = np.empty(m, dtype=object)
+    for i in range(m):
+        ev = [int(e_vals[j][i]) for j in range(len(table.memories))]
+        outputs[i] = evaluate_host(
+            table.g, P, lambda kind, q: ev[q.poly] if kind == "poly" else 0, []
+        )
+
+    return LassoWitness(
+        num_lookup_vars=m.bit_length() - 1,
+        dims=dims,
+        e_vals=e_vals,
+        read_ts=read_ts,
+        final_cts=final_cts,
+        outputs=outputs,
+    )
+
+
+def _fingerprint(
+    addr: jnp.ndarray, val: jnp.ndarray, ts: jnp.ndarray, gamma: int, tau: int
+) -> jnp.ndarray:
+    """h = ts*gamma^2 + val*gamma + addr - tau over device arrays."""
+    g1 = jnp.asarray(Fr.encode([gamma]))[0]
+    g2 = jnp.asarray(Fr.encode([gamma * gamma % P]))[0]
+    t = jnp.asarray(Fr.encode([tau]))[0]
+    acc = F.mont_mul(Fr, ts, g2[None, :])
+    acc = F.add(Fr, acc, F.mont_mul(Fr, val, g1[None, :]))
+    acc = F.add(Fr, acc, addr)
+    return F.sub(Fr, acc, jnp.broadcast_to(t, acc.shape))
+
+
+@timed("lasso_prove")
+def prove(
+    pp,
+    table: LassoTable,
+    indices: Sequence[int],
+    transcript,
+) -> None:
+    """Prove that outputs[i] = T[indices[i]] for all i."""
+    spec = Fr
+    wit = build_witness(table, indices)
+    alpha = len(table.memories)
+    nv_m = wit.num_lookup_vars
+    nv_n = table.memories[0].subtable.index_bits
+
+    # ---- encode + commit ----
+    with timed.scope("lasso_encode"):
+        a_poly = jnp.asarray(spec.encode(wit.outputs))
+        dim_polys = [jnp.asarray(spec.encode(d.astype(object))) for d in wit.dims]
+        e_polys = [jnp.asarray(spec.encode(e)) for e in wit.e_vals]
+        ts_polys = [jnp.asarray(spec.encode(t.astype(object))) for t in wit.read_ts]
+        fc_polys = [jnp.asarray(spec.encode(f.astype(object))) for f in wit.final_cts]
+    m_sized = [a_poly] + dim_polys + e_polys + ts_polys
+    with timed.scope("lasso_commit"):
+        m_comms = MultilinearKzg.batch_commit(pp, m_sized)
+        n_comms = MultilinearKzg.batch_commit(pp, fc_polys)
+    transcript.write_commitments(m_comms)
+    transcript.write_commitments(n_comms)
+
+    # ---- primary sumcheck ----
+    r = transcript.squeeze_challenges(nv_m)
+    v = _decode_scalar(mle.evaluate(spec, a_poly, jnp.asarray(spec.encode(r))))
+    transcript.write_field_element(v)
+
+    expression = Expression.eq_xy(0) * table.g
+    with timed.scope("lasso_primary_sumcheck"):
+        vp = sum_check.VirtualPolynomial(expression, e_polys, [], [r])
+        x_primary, e_evals_primary = sum_check.prove(spec, nv_m, vp, v, transcript)
+    transcript.write_field_elements(e_evals_primary)
+
+    # ---- memory checking ----
+    gamma = transcript.squeeze_challenge()
+    tau = transcript.squeeze_challenge()
+
+    with timed.scope("lasso_fingerprints"):
+        subtable_vals: Dict[str, jnp.ndarray] = {}
+        for mem in table.memories:
+            if mem.subtable.name not in subtable_vals:
+                subtable_vals[mem.subtable.name] = jnp.asarray(
+                    spec.encode(mem.subtable.values())
+                )
+        one = jnp.broadcast_to(jnp.asarray(spec.one), (1 << nv_m, spec.num_limbs))
+        addr_n = jnp.asarray(spec.encode(np.arange(1 << nv_n, dtype=object)))
+        zeros_n = jnp.zeros((1 << nv_n, spec.num_limbs), dtype=jnp.uint32)
+        rs_polys, ws_polys, init_polys, final_polys = [], [], [], []
+        for j, mem in enumerate(table.memories):
+            addr = dim_polys[mem.chunk]
+            val = e_polys[j]
+            ts = ts_polys[j]
+            rs_polys.append(_fingerprint(addr, val, ts, gamma, tau))
+            ws_polys.append(
+                _fingerprint(addr, val, F.add(spec, ts, one), gamma, tau)
+            )
+            tvals = subtable_vals[mem.subtable.name]
+            init_polys.append(_fingerprint(addr_n, tvals, zeros_n, gamma, tau))
+            final_polys.append(
+                _fingerprint(addr_n, tvals, fc_polys[j], gamma, tau)
+            )
+
+    zeros_m_dev = jnp.zeros((1 << nv_m, spec.num_limbs), dtype=jnp.uint32)
+    with timed.scope("lasso_grand_products_m"):
+        _, _, x_m, _ = gkr.prove_fractional_sum_check(
+            [0] * (2 * alpha),
+            [None] * (2 * alpha),
+            [zeros_m_dev] * (2 * alpha),
+            rs_polys + ws_polys,
+            transcript,
+        )
+    zeros_n_dev = jnp.zeros((1 << nv_n, spec.num_limbs), dtype=jnp.uint32)
+    with timed.scope("lasso_grand_products_n"):
+        _, _, x_n, _ = gkr.prove_fractional_sum_check(
+            [0] * (2 * alpha),
+            [None] * (2 * alpha),
+            [zeros_n_dev] * (2 * alpha),
+            init_polys + final_polys,
+            transcript,
+        )
+
+    # ---- PCS openings ----
+    # m-sized polys at points [r, x_primary, x_m]: a at r (value = v, already
+    # in the transcript), E_j at x_primary (values = sumcheck final evals,
+    # already in the transcript), every m-sized poly at x_m (values written
+    # here, used for the GKR leaf fingerprint checks).
+    polys = m_sized
+    points = [list(r), x_primary, x_m]
+    evals: List[Evaluation] = [Evaluation(0, 0, v)]
+    for j in range(alpha):
+        evals.append(Evaluation(1 + len(dim_polys) + j, 1, e_evals_primary[j]))
+    with timed.scope("lasso_open_evals"):
+        xm = jnp.asarray(spec.encode(x_m))
+        xm_vals = []
+        for poly_idx, poly in enumerate(polys):
+            val = _decode_scalar(mle.evaluate(spec, poly, xm))
+            xm_vals.append(val)
+            evals.append(Evaluation(poly_idx, 2, val))
+        transcript.write_field_elements(xm_vals)
+    with timed.scope("lasso_batch_open_m"):
+        MultilinearKzg.batch_open(pp, polys, points, evals, transcript)
+
+    # final_cts at x_n
+    n_evals = []
+    with timed.scope("lasso_batch_open_n"):
+        xn = jnp.asarray(spec.encode(x_n))
+        for j, poly in enumerate(fc_polys):
+            n_evals.append(
+                Evaluation(j, 0, _decode_scalar(mle.evaluate(spec, poly, xn)))
+            )
+        transcript.write_field_elements([e.value for e in n_evals])
+        MultilinearKzg.batch_open(pp, fc_polys, [x_n], n_evals, transcript)
+
+
+@timed("lasso_verify")
+def verify(
+    vp,
+    table: LassoTable,
+    num_lookup_vars: int,
+    transcript,
+) -> None:
+    """Verify a Lasso proof; raises LassoError on rejection."""
+    spec = Fr
+    alpha = len(table.memories)
+    nv_m = num_lookup_vars
+    nv_n = table.memories[0].subtable.index_bits
+    num_m_polys = 1 + table.num_chunks + 2 * alpha
+
+    m_comms = transcript.read_commitments(num_m_polys)
+    n_comms = transcript.read_commitments(alpha)
+
+    r = transcript.squeeze_challenges(nv_m)
+    v = transcript.read_field_element()
+
+    expression = Expression.eq_xy(0) * table.g
+    x_eval, x_primary = sum_check.verify(
+        P, nv_m, expression.degree, v, transcript
+    )
+    e_evals_primary = transcript.read_field_elements(alpha)
+    eval_map = {Query(j, 0): ev for j, ev in enumerate(e_evals_primary)}
+    got = sum_check.evaluate_at_point(
+        expression, P, nv_m, eval_map, [], [r], x_primary
+    )
+    if got != x_eval:
+        raise LassoError("primary sumcheck final check failed")
+
+    gamma = transcript.squeeze_challenge()
+    tau = transcript.squeeze_challenge()
+
+    _, q_m, x_m, (_, q0_m) = gkr.verify_fractional_sum_check(
+        nv_m, [0] * (2 * alpha), [None] * (2 * alpha), transcript
+    )
+    _, q_n, x_n, (_, q0_n) = gkr.verify_fractional_sum_check(
+        nv_n, [0] * (2 * alpha), [None] * (2 * alpha), transcript
+    )
+    # multiset equality per memory on the PRODUCT claims (GKR top layer)
+    rs_prods, ws_prods = q0_m[:alpha], q0_m[alpha:]
+    init_prods, final_prods = q0_n[:alpha], q0_n[alpha:]
+    for j in range(alpha):
+        if rs_prods[j] * final_prods[j] % P != ws_prods[j] * init_prods[j] % P:
+            raise LassoError(f"memory check product mismatch (memory {j})")
+
+    # ---- m-sized openings at [r, x_primary, x_m] ----
+    xm_vals = transcript.read_field_elements(num_m_polys)
+    evals: List[Evaluation] = [Evaluation(0, 0, v)]
+    for j in range(alpha):
+        evals.append(Evaluation(1 + table.num_chunks + j, 1, e_evals_primary[j]))
+    for poly_idx in range(num_m_polys):
+        evals.append(Evaluation(poly_idx, 2, xm_vals[poly_idx]))
+
+    # GKR leaf checks at x_m: RS_j/WS_j from dim/E/ts openings
+    dim_evals = xm_vals[1 : 1 + table.num_chunks]
+    e_evals = xm_vals[1 + table.num_chunks : 1 + table.num_chunks + alpha]
+    ts_evals = xm_vals[1 + table.num_chunks + alpha :]
+    g2 = gamma * gamma % P
+    for j, mem in enumerate(table.memories):
+        h_rs = (ts_evals[j] * g2 + e_evals[j] * gamma + dim_evals[mem.chunk] - tau) % P
+        h_ws = ((ts_evals[j] + 1) * g2 + e_evals[j] * gamma + dim_evals[mem.chunk] - tau) % P
+        if h_rs != q_m[j] or h_ws != q_m[alpha + j]:
+            raise LassoError(f"fingerprint opening mismatch (memory {j})")
+
+    MultilinearKzg.batch_verify(
+        vp, m_comms, [list(r), x_primary, x_m], evals, transcript
+    )
+
+    # ---- N-sized openings at x_n ----
+    n_vals = transcript.read_field_elements(alpha)
+    n_evals = [Evaluation(j, 0, n_vals[j]) for j in range(alpha)]
+    # init/final fingerprints at x_n against table MLEs (subtables are
+    # public/structured, evaluated directly by the verifier)
+    addr_eval = mle.identity_eval_host(P, x_n)
+    for j, mem in enumerate(table.memories):
+        t_eval = _subtable_mle_eval(mem.subtable, x_n)
+        h_init = (t_eval * gamma + addr_eval - tau) % P
+        h_final = (n_vals[j] * g2 + t_eval * gamma + addr_eval - tau) % P
+        if h_init != q_n[j] or h_final != q_n[alpha + j]:
+            raise LassoError(f"init/final fingerprint mismatch (memory {j})")
+
+    MultilinearKzg.batch_verify(vp, n_comms, [x_n], n_evals, transcript)
+
+
+def _subtable_mle_eval(subtable, x: Sequence[int]) -> int:
+    """Evaluate the subtable's MLE at x on host.
+
+    Generic O(N) host fold — structured subtables admit O(log N) closed
+    forms; used here for verifier simplicity (N_sub <= 2^16).
+    """
+    vals = [int(v) for v in subtable.values()]
+    for xi in reversed(x):
+        half = len(vals) // 2
+        vals = [
+            (lo + (hi - lo) * xi) % P for lo, hi in zip(vals[:half], vals[half:])
+        ]
+    return vals[0]

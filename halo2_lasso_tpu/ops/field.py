@@ -53,6 +53,13 @@ def limbs_to_int(limbs) -> int:
     return sum(int(l) << (LIMB_BITS * i) for i, l in enumerate(limbs))
 
 
+def decode_scalar(spec: "FieldSpec", arr) -> int:
+    """Single (L,) Montgomery limb array -> canonical python int."""
+    a = np.asarray(arr)
+    assert a.ndim == 1
+    return int(spec.decode(a[None, :])[0])
+
+
 def limbs_to_ints(limbs) -> np.ndarray:
     """Host-side: uint32[..., L] -> object array of python ints over batch dims."""
     limbs = np.asarray(limbs)
@@ -114,24 +121,27 @@ class FieldSpec:
             flat[i] = self.from_mont_int(flat[i])
         return flat.reshape(ints.shape)
 
-    # ---- device constants ----
+    # ---- device-usable constants ----
+    # NOTE: these return plain numpy arrays (NOT jnp) on purpose: a cached
+    # jnp array created while tracing would leak a tracer across jit scopes;
+    # numpy constants are safely embedded at every use site.
 
-    @functools.cached_property
+    @property
     def p_dev(self):
-        return jnp.asarray(self.p_limbs)
+        return self.p_limbs
 
-    @functools.cached_property
+    @property
     def zero(self):
-        return jnp.zeros((self.num_limbs,), dtype=jnp.uint32)
+        return self.zero_limbs
 
-    @functools.cached_property
+    @property
     def one(self):
         """Montgomery representation of 1 (i.e. R mod p)."""
-        return jnp.asarray(self.r_limbs)
+        return self.r_limbs
 
-    @functools.cached_property
+    @property
     def r2(self):
-        return jnp.asarray(self.r2_limbs)
+        return self.r2_limbs
 
 
 # ---------------------------------------------------------------------------
@@ -148,39 +158,52 @@ def _shift_pad(x: jnp.ndarray, offset: int, total: int) -> jnp.ndarray:
 
 def _carry_propagate(t: jnp.ndarray, out_limbs: int) -> jnp.ndarray:
     """Resolve lazy carries: t (..., >=out_limbs) u32 with limbs < 2^32 ->
-    canonical 16-bit limbs (..., out_limbs). Assumes final carry-out is zero."""
-    outs = []
-    carry = jnp.zeros(t.shape[:-1], dtype=jnp.uint32)
-    for k in range(out_limbs):
-        v = t[..., k] + carry
-        outs.append(v & LIMB_MASK)
-        carry = v >> LIMB_BITS
-    return jnp.stack(outs, axis=-1)
+    canonical 16-bit limbs (..., out_limbs). Assumes final carry-out is zero.
+
+    Limb loops run as lax.scan (graph-size: O(1) instead of O(L) — the limb
+    axis is moved to the scan axis; per-step ops stay batch-vectorized)."""
+    tv = jnp.moveaxis(t[..., :out_limbs], -1, 0)
+
+    def step(carry, ti):
+        v = ti + carry
+        return v >> LIMB_BITS, v & LIMB_MASK
+
+    _, outs = jax.lax.scan(step, jnp.zeros(t.shape[:-1], dtype=jnp.uint32), tv)
+    return jnp.moveaxis(outs, 0, -1)
 
 
 def _sub_limbs(a: jnp.ndarray, b: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """a - b over 16-bit limbs; returns (diff, borrow_out in {0,1})."""
-    L = a.shape[-1]
-    outs = []
-    borrow = jnp.zeros(a.shape[:-1], dtype=jnp.uint32)
-    for k in range(L):
-        # v in [-(2^16), 2^16); compute in u32 with wraparound then mask
-        v = a[..., k] - b[..., k] - borrow
-        outs.append(v & LIMB_MASK)
-        borrow = (v >> LIMB_BITS) & 1  # wrapped => top bits set
-    return jnp.stack(outs, axis=-1), borrow
+    a, b = jnp.broadcast_arrays(a, b)
+    av = jnp.moveaxis(a, -1, 0)
+    bv = jnp.moveaxis(b, -1, 0)
+
+    def step(borrow, ab):
+        ai, bi = ab
+        v = ai - bi - borrow  # u32 wraparound
+        return (v >> LIMB_BITS) & 1, v & LIMB_MASK
+
+    borrow, outs = jax.lax.scan(
+        step, jnp.zeros(a.shape[:-1], dtype=jnp.uint32), (av, bv)
+    )
+    return jnp.moveaxis(outs, 0, -1), borrow
 
 
 def _add_limbs(a: jnp.ndarray, b: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """a + b over 16-bit limbs; returns (sum, carry_out)."""
-    L = a.shape[-1]
-    outs = []
-    carry = jnp.zeros(a.shape[:-1], dtype=jnp.uint32)
-    for k in range(L):
-        v = a[..., k] + b[..., k] + carry
-        outs.append(v & LIMB_MASK)
-        carry = v >> LIMB_BITS
-    return jnp.stack(outs, axis=-1), carry
+    a, b = jnp.broadcast_arrays(a, b)
+    av = jnp.moveaxis(a, -1, 0)
+    bv = jnp.moveaxis(b, -1, 0)
+
+    def step(carry, ab):
+        ai, bi = ab
+        v = ai + bi + carry
+        return v >> LIMB_BITS, v & LIMB_MASK
+
+    carry, outs = jax.lax.scan(
+        step, jnp.zeros(a.shape[:-1], dtype=jnp.uint32), (av, bv)
+    )
+    return jnp.moveaxis(outs, 0, -1), carry
 
 
 def _geq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -224,25 +247,39 @@ def _mont_reduce(spec: FieldSpec, t: jnp.ndarray) -> jnp.ndarray:
     `t` is uint32[..., 2L] with limb weights 2^(16k); limbs may be lazy
     (< 2^28 is safe: during reduction each limb gains <= 2 more 16-bit terms
     per outer step plus carries, staying well below 2^32).
+
+    The L elimination steps run as a lax.scan over a LEFT-SHIFTING window:
+    each step cancels the current lowest limb with m = t0 * (-p^-1) mod 2^16,
+    adds m*p lazily, and shifts the accumulator down one limb.
     """
     L = spec.num_limbs
     T = 2 * L
     assert t.shape[-1] == T
     p_limbs = spec.p_dev
     npr = jnp.uint32(getattr(spec, "npr16"))
-    for i in range(L):
-        carry = t[..., i] >> LIMB_BITS
-        ti = t[..., i] & LIMB_MASK
-        m = (ti * npr) & LIMB_MASK
+    batch = t.shape[:-1]
+    zero1 = jnp.zeros(batch + (1,), dtype=jnp.uint32)
+    zeroL = jnp.zeros(batch + (L,), dtype=jnp.uint32)
+    zeroL1 = jnp.zeros(batch + (L + 1,), dtype=jnp.uint32)
+
+    def step(t, _):
+        carry = t[..., 0] >> LIMB_BITS
+        t0 = t[..., 0] & LIMB_MASK
+        m = (t0 * npr) & LIMB_MASK
         mp = m[..., None] * p_limbs  # (..., L)
         lo = mp & LIMB_MASK
         hi = mp >> LIMB_BITS
-        carry2 = (ti + lo[..., 0]) >> LIMB_BITS
-        add_vec = _shift_pad(lo[..., 1:], i + 1, T) + _shift_pad(hi, i + 1, T)
-        t = t + add_vec
-        t = t.at[..., i + 1].add(carry + carry2)
+        carry2 = (t0 + lo[..., 0]) >> LIMB_BITS
+        tn = jnp.concatenate([t[..., 1:], zero1], axis=-1)
+        # after the shift, old position j+1 is new position j:
+        # lo[1:] lands at new 0..L-2, hi at new 0..L-1, carries at new 0.
+        tn = tn + jnp.concatenate([lo[..., 1:], zeroL1], axis=-1)
+        tn = tn + jnp.concatenate([hi, zeroL], axis=-1)
+        tn = tn.at[..., 0].add(carry + carry2)
+        return tn, None
 
-    r = _carry_propagate(t[..., L:], L)
+    t, _ = jax.lax.scan(step, t, None, length=L)
+    r = _carry_propagate(t[..., :L], L)
     d, borrow = _sub_limbs(r, p_limbs)
     return jnp.where((borrow == 0)[..., None], d, r)
 

@@ -116,7 +116,7 @@ def prove_fractional_sum_check(
     p_0s, q_0s = [], []
     for i in range(num_batching):
         p_l, p_r, q_l, q_r = [
-            int(spec.decode(np.asarray(top[4 * i + j]))[0]) for j in range(4)
+            F.decode_scalar(spec, top[4 * i + j][0]) for j in range(4)
         ]
         p_0s.append((p_l * q_r + p_r * q_l) % p)
         q_0s.append(q_l * q_r % p)
@@ -129,13 +129,14 @@ def prove_fractional_sum_check(
 
     expression = sum_check_expression(num_batching)
 
+    top_claims = (list(p_0s), list(q_0s))
     claimed_p_ys, claimed_q_ys = p_0s, q_0s
     y: List[int] = []
     for layer in reversed(layers):
         nv = layer[0].shape[0].bit_length() - 1
         if nv == 0:
             x = []
-            evals = [int(spec.decode(np.asarray(arr[0]))[0]) for arr in layer]
+            evals = [F.decode_scalar(spec, arr[0]) for arr in layer]
         else:
             gamma = transcript.squeeze_challenge()
             claim = _sum_check_claim(claimed_p_ys, claimed_q_ys, gamma, p)
@@ -147,7 +148,7 @@ def prove_fractional_sum_check(
         x.append(mu)
         y = x
 
-    return claimed_p_ys, claimed_q_ys, y
+    return claimed_p_ys, claimed_q_ys, y, top_claims
 
 
 def verify_fractional_sum_check(
@@ -173,6 +174,7 @@ def verify_fractional_sum_check(
 
     expression = sum_check_expression(num_batching)
 
+    top_claims = (list(p_0s), list(q_0s))
     claimed_p_ys, claimed_q_ys = p_0s, q_0s
     y: List[int] = []
     for nv in range(num_vars):
@@ -199,4 +201,4 @@ def verify_fractional_sum_check(
         x.append(mu)
         y = x
 
-    return claimed_p_ys, claimed_q_ys, y
+    return claimed_p_ys, claimed_q_ys, y, top_claims

@@ -18,3 +18,10 @@ import jax  # noqa: E402
 # The axon TPU plugin ignores JAX_PLATFORMS from the environment; force CPU
 # through the config so tests never pay the device-tunnel latency.
 jax.config.update("jax_platforms", "cpu")
+
+# Big-field limb graphs are expensive to compile; cache compilations across
+# test runs (first run pays, later runs are instant).
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -31,7 +31,7 @@ def test_fractional_sum_check():
         proof = tw.into_proof()
 
         tr = Keccak256Transcript(P, proof=proof)
-        p_xs, q_xs, x = gkr.verify_fractional_sum_check(num_vars, claims, claims, tr)
+        p_xs, q_xs, x, _ = gkr.verify_fractional_sum_check(num_vars, claims, claims, tr)
 
         xd = jnp.asarray(Fr.encode(x))
         for vals, eval_ in zip(polys_vals, p_xs + q_xs):

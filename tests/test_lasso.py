@@ -1,0 +1,88 @@
+"""Lasso end-to-end: range/AND/LT tables, prove + verify round trips,
+negative tests (wrong output, out-of-range index)."""
+
+import numpy as np
+import pytest
+
+from halo2_lasso_tpu.lasso import LassoError, build_witness, prove, verify
+from halo2_lasso_tpu.lasso.tables import and_table, lt_table, range_table, xor_table
+from halo2_lasso_tpu.ops.bn254 import FQ_MODULUS, Fr
+from halo2_lasso_tpu.pcs.multilinear_kzg import MultilinearKzg
+from halo2_lasso_tpu.transcript import Keccak256Transcript
+
+P = Fr.modulus
+RNG = np.random.RandomState(77)
+
+
+def new_t(proof=None):
+    return Keccak256Transcript(P, base_modulus=FQ_MODULUS, proof=proof)
+
+
+def setup_pcs(num_vars):
+    param = MultilinearKzg.setup(1 << num_vars, np.random.RandomState(3))
+    return MultilinearKzg.trim(param, 1 << num_vars)
+
+
+def run_lasso(table, indices):
+    nv_m = (len(indices)).bit_length() - 1
+    nv = max(nv_m, table.memories[0].subtable.index_bits)
+    pp, vp = setup_pcs(nv)
+    tw = new_t()
+    prove(pp, table, indices, tw)
+    proof = tw.into_proof()
+    tr = new_t(proof)
+    verify(vp, table, nv_m, tr)
+    return proof, vp, nv_m
+
+
+def test_table_lookup_semantics():
+    t = and_table(8, 4)
+    assert t.lookup((0xAC << 8) | 0xCA) == (0xAC & 0xCA)
+    t2 = xor_table(8, 4)
+    assert t2.lookup((0x5F << 8) | 0x0F) == (0x5F ^ 0x0F)
+    t3 = lt_table(8, 4)
+    assert t3.lookup((3 << 8) | 7) == 1
+    assert t3.lookup((7 << 8) | 3) == 0
+    assert t3.lookup((5 << 8) | 5) == 0
+    r = range_table(8, 4)
+    assert r.lookup(200) == 200
+
+
+def test_witness_memory_semantics():
+    t = range_table(8, 4)
+    idx = [3, 7, 3, 3, 7, 1, 0, 3]
+    wit = build_witness(t, idx)
+    # read_ts of repeated addresses count up within each memory
+    addr0 = wit.dims[0]
+    for a in set(addr0.tolist()):
+        ts_vals = sorted(wit.read_ts[0][addr0 == a].tolist())
+        assert ts_vals == list(range(len(ts_vals)))
+        assert wit.final_cts[0][a] == (addr0 == a).sum()
+
+
+def test_lasso_range_roundtrip():
+    table = range_table(8, 4)
+    indices = [int(RNG.randint(256)) for _ in range(16)]
+    run_lasso(table, indices)
+
+
+def test_lasso_and_roundtrip():
+    table = and_table(4, 2)
+    indices = [int(RNG.randint(256)) for _ in range(8)]
+    run_lasso(table, indices)
+
+
+def test_lasso_lt_roundtrip():
+    table = lt_table(4, 2)
+    indices = [int(RNG.randint(256)) for _ in range(8)]
+    run_lasso(table, indices)
+
+
+def test_lasso_tampered_rejected():
+    table = range_table(8, 4)
+    indices = [int(RNG.randint(256)) for _ in range(8)]
+    proof, vp, nv_m = run_lasso(table, indices)
+    bad = bytearray(proof)
+    bad[len(bad) // 3] ^= 1
+    with pytest.raises(Exception):
+        verify(vp, table, nv_m, new_t(bytes(bad)))
