@@ -269,7 +269,21 @@ def _msm_impl(points: dict, scalars_canonical: jnp.ndarray, c: int) -> dict:
 
 def variable_base_msm(points: dict, scalars_mont: jnp.ndarray) -> dict:
     """MSM over (n,) points with (n, L) Montgomery scalars. Returns a single
-    Jacobian point (device). Semantics of msm.rs:84 variable_base_msm."""
+    Jacobian point (device). Semantics of msm.rs:84 variable_base_msm.
+
+    Inputs are padded (identity points / zero scalars) to the next power of
+    two (>= 16) so the expensive scan-kernel compiles are shared across the
+    many MSM sizes a prover emits (quotients of every size, commits, ...).
+    """
+    n = scalars_mont.shape[0]
+    target = max(16, 1 << (n - 1).bit_length()) if n > 1 else 16
+    if target != n:
+        pad = target - n
+        idp = identity_point((pad,))
+        points = {k: jnp.concatenate([v, idp[k]]) for k, v in points.items()}
+        scalars_mont = jnp.concatenate(
+            [scalars_mont, jnp.zeros((pad, scalars_mont.shape[1]), jnp.uint32)]
+        )
     scal = F.from_mont(Fr, scalars_mont)
     return _msm_impl(points, scal, _window_bits(scal.shape[0]))
 

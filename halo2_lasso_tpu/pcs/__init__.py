@@ -138,5 +138,6 @@ def additive_batch_verify(
     eq_xy_evals = [mle.eq_xy_eval_host(p, challenges, list(pt)) for pt in points]
     scalars = [eq_xy_evals[ev.point] * eq_i % p for ev, eq_i in zip(evals, eq_xt)]
     bases = [comms[ev.poly] for ev in evals]
-    g_prime_comm = g1_sum_with_scalar(scalars, bases)
+    combine = getattr(pcs, "sum_commitments", None)
+    g_prime_comm = combine(scalars, bases) if combine else g1_sum_with_scalar(scalars, bases)
     pcs.verify(vp, g_prime_comm, challenges, g_prime_eval, transcript)

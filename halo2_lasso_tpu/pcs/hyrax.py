@@ -1,0 +1,136 @@
+"""Multilinear Hyrax: matrix commitment over an IPA base.
+
+Semantics mirror /root/reference/plonkish_backend/src/pcs/multilinear/
+hyrax.rs: the 2^k evals are viewed as a (num_chunks x row_len) matrix; the
+commitment is one MSM per row; open folds the HIGH variables (fix_last_vars)
+and IPA-opens the folded row-space poly at the LOW sub-point; the verifier
+recombines the row commitments with eq(hi) before IPA-verifying.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from halo2_lasso_tpu.ops import ec
+from halo2_lasso_tpu.ops import field as F
+from halo2_lasso_tpu.ops.bn254 import Fr
+from halo2_lasso_tpu.pcs import (
+    Evaluation,
+    additive_batch_open,
+    additive_batch_verify,
+    g1_sum_with_scalar,
+)
+from halo2_lasso_tpu.pcs.ipa import IpaParams, MultilinearIpa
+from halo2_lasso_tpu.pcs.multilinear_kzg import PcsError
+from halo2_lasso_tpu.poly import multilinear as mle
+
+P = Fr.modulus
+
+
+@dataclasses.dataclass
+class HyraxParams:
+    num_vars: int
+    batch_num_vars: int
+    row_num_vars: int
+    ipa: IpaParams
+
+    @property
+    def row_len(self):
+        return 1 << self.row_num_vars
+
+    @property
+    def num_chunks(self):
+        return 1 << max(self.num_vars - self.row_num_vars, 0)
+
+
+class MultilinearHyrax:
+    @staticmethod
+    def setup(poly_size: int, batch_size: int = 1, rng=None) -> HyraxParams:
+        num_vars = poly_size.bit_length() - 1
+        batch_num_vars = (poly_size * batch_size - 1).bit_length() if batch_size > 1 else num_vars
+        row_num_vars = -(-batch_num_vars // 2)
+        ipa = MultilinearIpa.setup(1 << row_num_vars)
+        return HyraxParams(
+            num_vars=num_vars,
+            batch_num_vars=batch_num_vars,
+            row_num_vars=row_num_vars,
+            ipa=ipa,
+        )
+
+    @staticmethod
+    def trim(param: HyraxParams, poly_size: int, batch_size: int = 1):
+        num_vars = poly_size.bit_length() - 1
+        batch_num_vars = (poly_size * batch_size - 1).bit_length() if batch_size > 1 else num_vars
+        row_num_vars = -(-batch_num_vars // 2)
+        if param.row_num_vars < row_num_vars:
+            raise PcsError("too many variates to trim")
+        ipa, _ = MultilinearIpa.trim(param.ipa, 1 << row_num_vars)
+        p = HyraxParams(
+            num_vars=num_vars,
+            batch_num_vars=batch_num_vars,
+            row_num_vars=row_num_vars,
+            ipa=ipa,
+        )
+        return p, p
+
+    @staticmethod
+    def commit(pp: HyraxParams, evals: jnp.ndarray) -> List[Tuple[int, int]]:
+        n = evals.shape[0]
+        row_len = min(pp.row_len, n)
+        num_rows = n // row_len
+        g = {k: v[:row_len] for k, v in pp.ipa.g.items()}
+        comms = []
+        for r in range(num_rows):
+            comms.append(ec.msm_to_affine_int(g, evals[r * row_len : (r + 1) * row_len]))
+        return comms
+
+    @staticmethod
+    def batch_commit(pp, polys) -> List[List[Tuple[int, int]]]:
+        return [MultilinearHyrax.commit(pp, p) for p in polys]
+
+    @staticmethod
+    def sum_commitments(scalars: Sequence[int], comms: Sequence[List[Tuple[int, int]]]):
+        """Chunk-wise additive combination (vector commitment)."""
+        num_chunks = len(comms[0])
+        return [
+            g1_sum_with_scalar(scalars, [c[i] for c in comms])
+            for i in range(num_chunks)
+        ]
+
+    @staticmethod
+    def open(pp: HyraxParams, evals: jnp.ndarray, point: Sequence[int], eval_, transcript) -> None:
+        row_nv = min(pp.row_num_vars, len(point))
+        lo, hi = list(point[:row_nv]), list(point[row_nv:])
+        folded = evals
+        if hi:
+            xd = jnp.asarray(Fr.encode(hi))
+            for i in range(len(hi) - 1, -1, -1):
+                folded = mle.fix_last_var(Fr, folded, xd[i])
+        MultilinearIpa.open(pp.ipa, folded, lo, eval_, transcript)
+
+    @staticmethod
+    def verify(vp: HyraxParams, comm: List[Tuple[int, int]], point: Sequence[int], eval_: int, transcript) -> None:
+        row_nv = min(vp.row_num_vars, len(point))
+        lo, hi = list(point[:row_nv]), list(point[row_nv:])
+        if hi:
+            eq_hi = mle.eq_xy(Fr, jnp.asarray(Fr.encode(hi)))
+            scalars = [int(v) for v in Fr.decode(np.asarray(eq_hi))]
+            folded_comm = g1_sum_with_scalar(scalars, comm)
+        else:
+            assert len(comm) == 1
+            folded_comm = comm[0]
+        MultilinearIpa.verify(vp.ipa, folded_comm, lo, eval_, transcript)
+
+    @staticmethod
+    def batch_open(pp, polys, points, evals, transcript):
+        additive_batch_open(MultilinearHyrax, pp, pp.num_vars, polys, points, evals, transcript)
+
+    @staticmethod
+    def batch_verify(vp, comms, points, evals, transcript):
+        additive_batch_verify(
+            MultilinearHyrax, vp, vp.num_vars, comms, points, evals, transcript
+        )

@@ -1,0 +1,83 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh: sharded
+kernels must agree with their single-device counterparts bit-exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from halo2_lasso_tpu.expression import Expression
+from halo2_lasso_tpu.ops import field as F
+from halo2_lasso_tpu.ops.bn254 import Fr
+from halo2_lasso_tpu.parallel import sharding as sh
+from halo2_lasso_tpu.poly import multilinear as mle
+
+P = Fr.modulus
+RNG = np.random.RandomState(55)
+
+
+def rand_fes(n):
+    return [int.from_bytes(RNG.bytes(40), "little") % P for _ in range(n)]
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 4, "conftest should provide 8 virtual devices"
+    return sh.make_mesh(4)
+
+
+def test_sharded_sum_reduce(mesh):
+    vals = rand_fes(1 << 8)
+    arr = jnp.asarray(Fr.encode(vals))
+    fn = sh.sharded_sum_reduce(Fr, mesh)
+    got = F.decode_scalar(Fr, np.asarray(fn(sh.shard_evals(mesh, arr))))
+    assert got == sum(vals) % P
+
+
+def test_sharded_fix_var(mesh):
+    vals = rand_fes(1 << 6)
+    x = rand_fes(1)[0]
+    arr = jnp.asarray(Fr.encode(vals))
+    xd = jnp.asarray(Fr.encode([x]))[0]
+    fn = sh.sharded_fix_var(Fr, mesh)
+    got = np.asarray(fn(sh.shard_evals(mesh, arr), xd))
+    expect = np.asarray(mle.fix_var(Fr, arr, xd))
+    assert np.array_equal(got, expect)
+
+
+def test_sharded_round_message_matches_single(mesh):
+    k = 6
+    e = Expression.poly(0) * Expression.poly(1) * Expression.eq_xy(0)
+    polys = [rand_fes(1 << k) for _ in range(2)]
+    y = rand_fes(k)
+    arrays = {
+        ("poly", 0, 0): jnp.asarray(Fr.encode(polys[0])),
+        ("poly", 1, 0): jnp.asarray(Fr.encode(polys[1])),
+        ("eq", 0): mle.eq_xy(Fr, jnp.asarray(Fr.encode(y))),
+    }
+    keys = list(arrays.keys())
+    fn = sh.sharded_round_message(Fr, e, keys, e.degree, mesh)
+    got = fn({kk: sh.shard_evals(mesh, v) for kk, v in arrays.items()})
+    got_ints = [F.decode_scalar(Fr, np.asarray(row)) for row in np.asarray(got)]
+
+    # single-device ground truth via the same math
+    from halo2_lasso_tpu.expression import evaluate_jnp
+
+    def leaf(values):
+        def f(kind, arg):
+            if kind == "eq_xy":
+                return values[("eq", arg)]
+            return values[("poly", arg.poly, arg.rotation)]
+
+        return f
+
+    e1 = {kk: v[1::2] for kk, v in arrays.items()}
+    step = {kk: F.sub(Fr, e1[kk], arrays[kk][0::2]) for kk in arrays}
+    expect = []
+    values = e1
+    for t in range(1, e.degree + 1):
+        if t > 1:
+            values = {kk: F.add(Fr, values[kk], step[kk]) for kk in values}
+        term = evaluate_jnp(Fr, e, leaf(values), [])
+        expect.append(F.decode_scalar(Fr, np.asarray(F.sum_reduce(Fr, term))))
+    assert got_ints == expect
