@@ -60,22 +60,36 @@ def affine_to_jacobian(pts_xy: np.ndarray) -> dict:
 
 
 def jacobian_to_affine(pt: dict) -> np.ndarray:
-    """device dict -> host (..., 2) object ints; identity -> (0, 0)."""
+    """device dict -> host (..., 2) object ints; identity -> (0, 0).
+    Batch padded to a power of two (>= 16) for compile reuse."""
     z = pt["z"]
     batch = z.shape[:-1]
     flat = {k: v.reshape((-1, v.shape[-1])) for k, v in pt.items()}
+    n = flat["z"].shape[0]
+    target = max(16, 1 << (n - 1).bit_length()) if n > 1 else 16
+    if target != n:
+        flat = {
+            k: jnp.concatenate([v, jnp.zeros((target - n, v.shape[1]), jnp.uint32)])
+            for k, v in flat.items()
+        }
+    ax, ay = _to_affine_jit(flat)
+    xs = Fq.decode(np.asarray(ax))[:n]
+    ys = Fq.decode(np.asarray(ay))[:n]
+    zzero = np.asarray(F.is_zero(Fq, flat["z"]))[:n]
+    out = np.empty(xs.shape + (2,), dtype=object)
+    out[..., 0] = np.where(zzero, 0, xs)
+    out[..., 1] = np.where(zzero, 0, ys)
+    return out.reshape(batch + (2,))
+
+
+@jax.jit
+def _to_affine_jit(flat: dict):
     zinv = F.batch_inv(Fq, flat["z"])
     zinv2 = F.mont_mul(Fq, zinv, zinv)
     zinv3 = F.mont_mul(Fq, zinv2, zinv)
     ax = F.mont_mul(Fq, flat["x"], zinv2)
     ay = F.mont_mul(Fq, flat["y"], zinv3)
-    xs = Fq.decode(np.asarray(ax))
-    ys = Fq.decode(np.asarray(ay))
-    zzero = np.asarray(F.is_zero(Fq, flat["z"]))
-    out = np.empty(xs.shape + (2,), dtype=object)
-    out[..., 0] = np.where(zzero, 0, xs)
-    out[..., 1] = np.where(zzero, 0, ys)
-    return out.reshape(batch + (2,))
+    return ax, ay
 
 
 def ec_double(p: dict) -> dict:
@@ -300,14 +314,26 @@ def msm_to_affine_int(points: dict, scalars_mont: jnp.ndarray) -> Tuple[int, int
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
-def fixed_base_msm(base: dict, scalars_mont: jnp.ndarray, nbits: int = 256) -> dict:
-    """[s_i] * base for each scalar; base is a single point dict, scalars (n, L)
-    mont. Returns (n,) point batch. Semantics of msm.rs:67 fixed_base_msm."""
+def _fixed_base_msm_impl(base: dict, scalars_mont: jnp.ndarray, nbits: int) -> dict:
     scal = F.from_mont(Fr, scalars_mont)
     bits = scalars_to_bits(scal, nbits)
     n = scal.shape[0]
     base_b = {k: jnp.broadcast_to(v, (n,) + v.shape) for k, v in base.items()}
     return scalar_mul_bits(base_b, bits)
+
+
+def fixed_base_msm(base: dict, scalars_mont: jnp.ndarray, nbits: int = 256) -> dict:
+    """[s_i] * base for each scalar; base is a single point dict, scalars (n, L)
+    mont. Returns (n,) point batch. Semantics of msm.rs:67 fixed_base_msm.
+    Scalar count is padded to a power of two (>= 64) for compile reuse."""
+    n = scalars_mont.shape[0]
+    target = max(64, 1 << (n - 1).bit_length()) if n > 1 else 64
+    if target != n:
+        scalars_mont = jnp.concatenate(
+            [scalars_mont, jnp.zeros((target - n, scalars_mont.shape[1]), jnp.uint32)]
+        )
+    out = _fixed_base_msm_impl(base, scalars_mont, nbits)
+    return {k: v[:n] for k, v in out.items()}
 
 
 def g1_generator() -> dict:
