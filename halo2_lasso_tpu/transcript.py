@@ -128,6 +128,26 @@ class Keccak256Transcript:
     def read_commitments(self, n: int) -> List[Tuple[int, int]]:
         return [self.read_commitment() for _ in range(n)]
 
+    # ---- hash commitments (Brakedown merkle roots/paths) ----
+    # The reference streams hash outputs WITHOUT absorbing them
+    # (transcript.rs:241-263 Output<Keccak256> impls); absorption happens
+    # only via explicit common_commitment calls. Mirrored here.
+
+    def write_hash(self, h: bytes):
+        assert len(h) == 32
+        self._stream.write(h)
+
+    def read_hash(self) -> bytes:
+        return self._read_exact(32)
+
+    def common_hash(self, h: bytes):
+        self._state.update(h)
+
+    def squeeze_challenge_idx(self, cap: int) -> int:
+        """Low 32 bits of a squeezed challenge, mod cap
+        (pcs/multilinear/brakedown.rs squeeze_challenge_idx)."""
+        return (self.squeeze_challenge() & 0xFFFFFFFF) % cap
+
     # ---- proof extraction ----
 
     def into_proof(self) -> bytes:
