@@ -1,0 +1,133 @@
+"""Proof-system benchmark CLI.
+
+Mirrors the reference harness (/root/reference/benchmark/benches/
+proof_system.rs:253-329): `--system --circuit --k`, timing samples written
+as `k, avg_ms` lines to target/bench/<system>, with phase timer traces
+(HALO2_LASSO_TPU_TIMER=1) consumable by benchmarks/plotter.py.
+
+Systems: hyperplonk (this framework). The reference also benches halo2 and
+espresso_hyperplonk as external CPU baselines — those are separate Rust
+binaries not available here; their slots in the CSV format are kept so
+results can be merged for comparison.
+
+Circuits: vanilla_plonk, vanilla_plonk_with_lookup (both from the shared
+fixtures), lasso_range (2^k lookups into a range table).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import numpy as np
+
+
+def sample_size(k: int) -> int:
+    # proof_system.rs:321-329
+    if k < 16:
+        return 20
+    if k < 20:
+        return 5
+    return 1
+
+
+def bench_hyperplonk(circuit: str, k: int, samples: int) -> float:
+    from halo2_lasso_tpu.backend.hyperplonk import HyperPlonk, new_transcript
+    from halo2_lasso_tpu.backend.hyperplonk.fixtures import (
+        rand_vanilla_plonk_circuit,
+        rand_vanilla_plonk_with_lookup_circuit,
+    )
+
+    fn = {
+        "vanilla_plonk": rand_vanilla_plonk_circuit,
+        "vanilla_plonk_with_lookup": rand_vanilla_plonk_with_lookup_circuit,
+    }[circuit]
+    info, circ = fn(k, np.random.RandomState(k), np.random.RandomState(100 + k))
+    param = HyperPlonk.setup(info, np.random.RandomState(0))
+    pp, vp = HyperPlonk.preprocess(param, info)
+
+    # warm-up (compiles)
+    tw = new_transcript()
+    HyperPlonk.prove(pp, circ, tw)
+    proof = tw.into_proof()
+    tr = new_transcript(proof)
+    HyperPlonk.verify(vp, circ.instances(), tr)
+
+    t0 = time.perf_counter()
+    for _ in range(samples):
+        tw = new_transcript()
+        HyperPlonk.prove(pp, circ, tw)
+    return (time.perf_counter() - t0) / samples * 1e3
+
+
+def bench_lasso_range(k: int, samples: int) -> float:
+    from halo2_lasso_tpu import lasso
+    from halo2_lasso_tpu.backend.hyperplonk import new_transcript
+    from halo2_lasso_tpu.lasso.tables import range_table
+    from halo2_lasso_tpu.pcs.multilinear_kzg import MultilinearKzg
+
+    table = range_table(16, 16)
+    rng = np.random.RandomState(7)
+    indices = [int(v) for v in rng.randint(0, 1 << 16, size=1 << k)]
+    nv = max(k, 16)
+    param = MultilinearKzg.setup(1 << nv, np.random.RandomState(3))
+    pp, _vp = MultilinearKzg.trim(param, 1 << nv)
+
+    tw = new_transcript()
+    lasso.prove(pp, table, indices, tw)  # warm-up
+
+    t0 = time.perf_counter()
+    for _ in range(samples):
+        tw = new_transcript()
+        lasso.prove(pp, table, indices, tw)
+    return (time.perf_counter() - t0) / samples * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--system", default="hyperplonk", choices=["hyperplonk"])
+    ap.add_argument(
+        "--circuit",
+        default="vanilla_plonk",
+        choices=["vanilla_plonk", "vanilla_plonk_with_lookup", "lasso_range"],
+    )
+    ap.add_argument("--k", default="4..8", help="k or k range lo..hi")
+    ap.add_argument("--samples", type=int, default=None)
+    args = ap.parse_args()
+
+    if ".." in args.k:
+        lo, hi = args.k.split("..")
+        ks = range(int(lo), int(hi))
+    else:
+        ks = [int(args.k)]
+
+    outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "target", "bench")
+    os.makedirs(outdir, exist_ok=True)
+    outfile = os.path.join(outdir, args.system)
+
+    for k in ks:
+        samples = args.samples or sample_size(k)
+        if args.circuit == "lasso_range":
+            avg_ms = bench_lasso_range(k, samples)
+        else:
+            avg_ms = bench_hyperplonk(args.circuit, k, samples)
+        line = f"{k}, {avg_ms:.3f}"
+        print(f"{args.system}/{args.circuit}: {line}")
+        with open(outfile, "a") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
