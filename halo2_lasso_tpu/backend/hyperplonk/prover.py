@@ -156,6 +156,11 @@ def lookup_h_polys(
         inv = F.batch_inv(spec, both)
         h = F.sub(spec, inv[:n], F.mont_mul(spec, inv[n:], m))
         out.append(h)
+        from halo2_lasso_tpu.config import sanity_enabled
+
+        if sanity_enabled():  # prover.rs:245-247 (`sanity-check`): sum h == 0
+            total = F.decode_scalar(spec, np.asarray(F.sum_reduce(spec, h)))
+            assert total == 0, "lookup h poly does not sum to zero"
     return out
 
 

@@ -1,0 +1,76 @@
+"""Curve catalog: BN254, Grumpkin, Pasta (Pallas/Vesta) parameters.
+
+Mirrors the curve surface of the reference (halo2_curves bn256 / grumpkin /
+pasta, with the `TwoChainCurve` pairing of 2-cycles — util/arithmetic.rs:
+37-59). BN254 G1 has full device support (ops/ec.py); the other curves'
+field specs and constants are catalogued here so the generic packed-limb
+field ops work over them; device group ops for them follow the same recipe
+as ops/ec.py (a=0 short Weierstrass for grumpkin; a=0 for pasta too).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+from halo2_lasso_tpu.ops.bn254 import FQ_MODULUS, FR_MODULUS, Fq, Fr
+from halo2_lasso_tpu.ops.field import FieldSpec
+
+
+@dataclasses.dataclass(frozen=True)
+class CurveSpec:
+    name: str
+    base: FieldSpec  # coordinates field
+    scalar: FieldSpec  # group order field
+    b: int  # y^2 = x^3 + b (a = 0 for all curves here)
+    generator: Tuple[int, int]
+
+
+# --- BN254 / Grumpkin 2-cycle ---
+# grumpkin: defined over BN254's SCALAR field with group order = BN254's
+# BASE field; y^2 = x^3 - 17, generator (1, sqrt(-16)).
+GRUMPKIN_B = FR_MODULUS - 17
+GRUMPKIN_GEN = (
+    1,
+    17631683881184975370165255887551781615748388533673675138860,  # sqrt(-16) mod r
+)
+
+BN254_G1 = CurveSpec("bn254_g1", base=Fq, scalar=Fr, b=3, generator=(1, 2))
+GRUMPKIN = CurveSpec(
+    "grumpkin", base=Fr, scalar=Fq, b=GRUMPKIN_B, generator=GRUMPKIN_GEN
+)
+
+# --- Pasta 2-cycle ---
+PALLAS_MODULUS = 0x40000000000000000000000000000000224698FC094CF91B992D30ED00000001
+VESTA_MODULUS = 0x40000000000000000000000000000000224698FC0994A8DD8C46EB2100000001
+
+Fp_pallas = FieldSpec(name="pallas_base", modulus=PALLAS_MODULUS)
+Fq_vesta = FieldSpec(name="vesta_base", modulus=VESTA_MODULUS)
+
+PALLAS = CurveSpec(
+    "pallas",
+    base=Fp_pallas,
+    scalar=Fq_vesta,
+    b=5,
+    generator=(PALLAS_MODULUS - 1, 2),
+)
+VESTA = CurveSpec(
+    "vesta",
+    base=Fq_vesta,
+    scalar=Fp_pallas,
+    b=5,
+    generator=(VESTA_MODULUS - 1, 2),
+)
+
+# TwoChainCurve pairs (util/arithmetic.rs:37-59)
+TWO_CHAIN = {
+    "bn254_g1": GRUMPKIN,
+    "grumpkin": BN254_G1,
+    "pallas": VESTA,
+    "vesta": PALLAS,
+}
+
+
+def on_curve(spec: CurveSpec, x: int, y: int) -> bool:
+    p = spec.base.modulus
+    return (y * y - x * x * x - spec.b) % p == 0
