@@ -72,11 +72,13 @@ def main():
     msg, folded = round_step(arrays, challenge)
     msg.block_until_ready()
 
-    # timed runs
+    # timed runs — chain the challenge through the previous message so no
+    # two invocations are identical (defeats any memoization/caching layer)
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         msg, _ = round_step(arrays, challenge)
+        challenge = msg[0]
     msg.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
 

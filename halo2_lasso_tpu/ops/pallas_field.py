@@ -118,11 +118,14 @@ def make_fix_var(spec: FieldSpec):
     L = spec.num_limbs
     p_limbs = [int(v) for v in spec.p_limbs]
 
-    def kernel(e_ref, x_ref, o_ref):
-        e = e_ref[:]  # (L, 2*T)
+    def kernel(even_ref, odd_ref, x_ref, o_ref):
+        # even/odd pre-split OUTSIDE the kernel: lane-strided slicing does
+        # not lower in Mosaic (gather); XLA handles the de-interleave.
+        even_full = even_ref[:]  # (L, T)
+        odd_full = odd_ref[:]
         x = x_ref[:]  # (L, 1)
-        even = e[:, 0::2]
-        odd = e[:, 1::2]
+        even = [even_full[i] for i in range(L)]
+        odd = [odd_full[i] for i in range(L)]
         # sub mod p
         diff = []
         borrow = jnp.zeros_like(even[0])
@@ -160,18 +163,21 @@ def make_fix_var(spec: FieldSpec):
     @jax.jit
     def fix_var_lf(evals, x):
         n = evals.shape[1]
-        assert n % (2 * TILE) == 0 or n == 2 * TILE
+        assert n % (2 * TILE) == 0
+        even = evals[:, 0::2]
+        odd = evals[:, 1::2]
         grid = (n // (2 * TILE),)
         return pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((L, 2 * TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((L, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((L, n // 2), jnp.uint32),
-        )(evals, x)
+        )(even, odd, x)
 
     return fix_var_lf
 
