@@ -9,6 +9,49 @@ round, so a pure-python keccak-f[1600] is plenty fast.
 
 from __future__ import annotations
 
+import ctypes
+import os
+import subprocess
+
+# ---------------------------------------------------------------------------
+# native backend (csrc/keccak.c), built on demand; pure-python fallback below
+# ---------------------------------------------------------------------------
+
+_NATIVE = None
+
+
+def _load_native():
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    src = os.path.join(root, "csrc", "keccak.c")
+    lib = os.path.join(root, "csrc", "libkeccak.so")
+    try:
+        if not os.path.exists(lib) or os.path.getmtime(lib) < os.path.getmtime(src):
+            subprocess.run(
+                ["gcc", "-O3", "-shared", "-fPIC", "-o", lib, src],
+                check=True,
+                capture_output=True,
+            )
+        dll = ctypes.CDLL(lib)
+        dll.keccak256_absorb_blocks.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_char_p,
+            ctypes.c_uint64,
+        ]
+        dll.keccak256_finalize.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_char_p,
+            ctypes.c_uint64,
+            ctypes.c_char_p,
+        ]
+        _NATIVE = dll
+    except Exception:
+        _NATIVE = False
+    return _NATIVE
+
+
 _ROUND_CONSTANTS = [
     0x0000000000000001, 0x0000000000008082, 0x800000000000808A, 0x8000000080008000,
     0x000000000000808B, 0x0000000080000001, 0x8000000080008081, 0x8000000000008009,
@@ -56,8 +99,40 @@ def _keccak_f(state):
     return state
 
 
-class Keccak256:
-    """Incremental legacy Keccak-256: rate 136 bytes, pad 0x01...0x80."""
+class _NativeKeccak256:
+    """ctypes-backed incremental legacy Keccak-256 (csrc/keccak.c)."""
+
+    RATE = 136
+    DIGEST_SIZE = 32
+
+    def __init__(self):
+        self._st = (ctypes.c_uint64 * 25)()
+        self._buffer = b""
+        self._dll = _load_native()
+
+    def update(self, data: bytes):
+        self._buffer += data
+        nblocks = len(self._buffer) // self.RATE
+        if nblocks:
+            chunk = self._buffer[: nblocks * self.RATE]
+            self._dll.keccak256_absorb_blocks(self._st, chunk, nblocks)
+            self._buffer = self._buffer[nblocks * self.RATE :]
+        return self
+
+    def digest(self) -> bytes:
+        out = ctypes.create_string_buffer(32)
+        self._dll.keccak256_finalize(self._st, self._buffer, len(self._buffer), out)
+        return out.raw
+
+    def finalize_reset(self) -> bytes:
+        d = self.digest()
+        ctypes.memset(self._st, 0, 25 * 8)
+        self._buffer = b""
+        return d
+
+
+class _PyKeccak256:
+    """Pure-python incremental legacy Keccak-256: rate 136, pad 0x01...0x80."""
 
     RATE = 136
     DIGEST_SIZE = 32
@@ -66,7 +141,7 @@ class Keccak256:
         self._state = [[0] * 5 for _ in range(5)]
         self._buffer = b""
 
-    def update(self, data: bytes) -> "Keccak256":
+    def update(self, data: bytes) -> "_PyKeccak256":
         self._buffer += data
         while len(self._buffer) >= self.RATE:
             self._absorb(self._buffer[: self.RATE])
@@ -108,6 +183,13 @@ class Keccak256:
         self._state = [[0] * 5 for _ in range(5)]
         self._buffer = b""
         return d
+
+
+def Keccak256():
+    """Factory: native implementation when the toolchain is available."""
+    if _load_native():
+        return _NativeKeccak256()
+    return _PyKeccak256()
 
 
 def keccak256(data: bytes) -> bytes:

@@ -189,3 +189,220 @@ def to_limbs_first(arr: jnp.ndarray) -> jnp.ndarray:
 
 def from_limbs_first(arr: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(arr, (1, 0))
+
+
+# ---------------------------------------------------------------------------
+# fused sumcheck round kernel
+# ---------------------------------------------------------------------------
+
+
+def _add_rows(spec, a, b):
+    """row-lists mod-p add: a, b lists of (T,) u32."""
+    L = spec.num_limbs
+    p_limbs = [int(v) for v in spec.p_limbs]
+    out = []
+    carry = jnp.zeros_like(a[0])
+    for k in range(L):
+        v = a[k] + b[k] + carry
+        out.append(v & LIMB_MASK)
+        carry = v >> LIMB_BITS
+    borrow = jnp.zeros_like(a[0])
+    d = []
+    for k in range(L):
+        v = out[k] - jnp.uint32(p_limbs[k]) - borrow
+        d.append(v & LIMB_MASK)
+        borrow = (v >> LIMB_BITS) & 1
+    keep = borrow == 0
+    return [jnp.where(keep, d[k], out[k]) for k in range(L)]
+
+
+def _sub_rows(spec, a, b):
+    L = spec.num_limbs
+    p_limbs = [int(v) for v in spec.p_limbs]
+    out = []
+    borrow = jnp.zeros_like(a[0])
+    for k in range(L):
+        v = a[k] - b[k] - borrow
+        out.append(v & LIMB_MASK)
+        borrow = (v >> LIMB_BITS) & 1
+    under = borrow == 1
+    carry = jnp.zeros_like(a[0])
+    res = []
+    for k in range(L):
+        v = out[k] + jnp.where(under, jnp.uint32(p_limbs[k]), 0) + carry
+        res.append(v & LIMB_MASK)
+        carry = v >> LIMB_BITS
+    return res
+
+
+def _mul_rows(spec, a, b):
+    out = _mont_mul_body(spec, jnp.stack(a, axis=0), jnp.stack(b, axis=0))
+    return [out[i] for i in range(spec.num_limbs)]
+
+
+def _neg_rows(spec, a):
+    zero = [jnp.zeros_like(a[0]) for _ in range(spec.num_limbs)]
+    return _sub_rows(spec, zero, a)
+
+
+def make_sumcheck_round(spec: FieldSpec, expression, poly_keys, degree: int):
+    """Fused EvaluationsProver round: for each grid block, evaluate the
+    traced expression at t = 1..degree over the block's half-pairs,
+    accumulate LAZY per-block partial sums, and emit the folded tables —
+    one VMEM-resident pass over every leaf table.
+
+    Returns jitted f(tables: dict key -> (L, N), challenge (L, 1)) ->
+      (partials (degree, L, nblocks) lazy u32, folded dict key -> (L, N/2)).
+    The caller finishes with a (cheap) lazy-limb reduction over blocks.
+
+    The expression's constants/challenges must be baked via
+    Expression.constant (challenge leaves are not supported here; callers
+    substitute them before building the kernel).
+    """
+    from halo2_lasso_tpu.expression import Expression  # noqa
+
+    L = spec.num_limbs
+    keys = list(poly_keys)
+    nin = len(keys)
+
+    def const_rows(v, like):
+        from halo2_lasso_tpu.ops.field import int_to_limbs
+
+        mont = int_to_limbs(spec.to_mont_int(v % spec.modulus), L)
+        return [
+            jnp.full_like(like, jnp.uint32(int(mont[k]))) for k in range(L)
+        ]
+
+    def kernel(*refs):
+        even_refs = refs[:nin]
+        odd_refs = refs[nin : 2 * nin]
+        x_ref = refs[2 * nin]
+        out_partial_ref = refs[2 * nin + 1]
+        fold_refs = refs[2 * nin + 2 :]
+
+        evens = {}
+        odds = {}
+        for key, eref, oref in zip(keys, even_refs, odd_refs):
+            e = eref[:]
+            o = oref[:]
+            evens[key] = [e[i] for i in range(L)]
+            odds[key] = [o[i] for i in range(L)]
+
+        like = evens[keys[0]][0]
+
+        # fold: out = (odd - even) * x + even
+        x = x_ref[:]
+        xrows = [jnp.broadcast_to(x[i], like.shape) for i in range(L)]
+        for key, fref in zip(keys, fold_refs):
+            diff = _sub_rows(spec, odds[key], evens[key])
+            prod = _mul_rows(spec, diff, xrows)
+            folded = _add_rows(spec, prod, evens[key])
+            fref[:] = jnp.stack(folded, axis=0)
+
+        # message: values at t start at odd (t=1), step = odd - even
+        steps = {k: _sub_rows(spec, odds[k], evens[k]) for k in keys}
+        values = {k: odds[k] for k in keys}
+        partial_rows = []
+
+        def eval_expr(vals):
+            def go(e):
+                k = e.kind
+                if k == "const":
+                    return const_rows(e.args[0], like)
+                if k == "poly":
+                    q = e.args[0]
+                    return vals[("poly", q.poly, q.rotation)]
+                if k == "eq_xy":
+                    return vals[("eq", e.args[0])]
+                if k == "identity":
+                    return vals[("identity",)]
+                if k == "lagrange":
+                    return vals[("lagrange", e.args[0])]
+                if k == "neg":
+                    return _neg_rows(spec, go(e.args[0]))
+                if k == "sum":
+                    return _add_rows(spec, go(e.args[0]), go(e.args[1]))
+                if k == "product":
+                    return _mul_rows(spec, go(e.args[0]), go(e.args[1]))
+                if k == "scaled":
+                    return _mul_rows(spec, go(e.args[0]), const_rows(e.args[1], like))
+                if k == "powers":
+                    exprs, base = e.args
+                    b = go(base)
+                    acc = go(exprs[0])
+                    power = b
+                    for i, ex in enumerate(exprs[1:]):
+                        if i > 0:
+                            power = _mul_rows(spec, power, b)
+                        acc = _add_rows(spec, acc, _mul_rows(spec, power, go(ex)))
+                    return acc
+                raise ValueError(k)
+
+            return go(expression)
+
+        for t in range(1, degree + 1):
+            if t > 1:
+                values = {k: _add_rows(spec, values[k], steps[k]) for k in keys}
+            term = eval_expr(values)
+            # per-limb lane sums < 2^16 * TILE = 2^26; SPLIT into 16-bit
+            # halves so the caller's cross-block sum stays in u32
+            cols = []
+            for i in range(L):
+                # Mosaic lacks unsigned reductions; values < 2^16 so an
+                # int32 sum over TILE lanes stays < 2^26 and is exact.
+                s = jnp.sum(term[i].astype(jnp.int32)).astype(jnp.uint32)
+                cols.append(s & LIMB_MASK)
+                cols.append(s >> LIMB_BITS)
+            partial_rows.append(jnp.stack(cols))
+
+        # one (8, degree*2L) block per grid step: row 0 = partials, rest 0
+        flat = jnp.concatenate(partial_rows)  # (degree*2L,)
+        out_partial_ref[:] = jnp.concatenate(
+            [flat[None, :], jnp.zeros((7, flat.shape[0]), jnp.uint32)], axis=0
+        )
+
+    @jax.jit
+    def round_fn(tables: dict, challenge):
+        n = tables[keys[0]].shape[1]
+        assert n % (2 * TILE) == 0
+        nblocks = n // (2 * TILE)
+        evens = [tables[k][:, 0::2] for k in keys]
+        odds = [tables[k][:, 1::2] for k in keys]
+        in_specs = (
+            [pl.BlockSpec((L, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)] * (2 * nin)
+            + [pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)]
+        )
+        out_specs = [
+            pl.BlockSpec(
+                (8, degree * 2 * L), lambda i: (i, 0), memory_space=pltpu.VMEM
+            )
+        ] + [
+            pl.BlockSpec((L, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
+        ] * nin
+        out_shape = [
+            jax.ShapeDtypeStruct((8 * nblocks, degree * 2 * L), jnp.uint32)
+        ] + [jax.ShapeDtypeStruct((L, n // 2), jnp.uint32)] * nin
+        outs = pl.pallas_call(
+            kernel,
+            grid=(nblocks,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+        )(*evens, *odds, challenge)
+        # finish: sum the 16-bit split partials over blocks (u32-safe for
+        # nblocks <= 2^16), recombine halves into lazy limbs, mod-reduce.
+        split = jnp.sum(outs[0], axis=0, dtype=jnp.uint32).reshape(degree, L, 2)
+        lo = split[:, :, 0]
+        hi = split[:, :, 1]
+        lazy = jnp.concatenate(
+            [lo, jnp.zeros((degree, 1), jnp.uint32)], axis=1
+        ) + jnp.concatenate([jnp.zeros((degree, 1), jnp.uint32), hi], axis=1)
+        from halo2_lasso_tpu.ops import field as FF
+
+        t = jnp.pad(lazy[:, :L], [(0, 0), (0, L)])
+        t = t.at[:, L].add(lazy[:, L])
+        msgs = FF.mont_mul(spec, FF._mont_reduce(spec, t), jnp.asarray(spec.r2))
+        folded = {k: v for k, v in zip(keys, outs[1:])}
+        return msgs, folded
+
+    return round_fn

@@ -196,12 +196,14 @@ class MultilinearKzg:
 
     @staticmethod
     def batch_open(pp, polys, points, evals: Sequence[Evaluation], transcript):
-        num_vars = pp.num_vars
+        # size by the opened points (polys may be smaller than the params)
+        num_vars = len(points[0]) if points else pp.num_vars
         additive_batch_open(MultilinearKzg, pp, num_vars, polys, points, evals, transcript)
 
     @staticmethod
     def batch_verify(vp, comms, points, evals: Sequence[Evaluation], transcript):
-        additive_batch_verify(MultilinearKzg, vp, vp.num_vars, comms, points, evals, transcript)
+        num_vars = len(points[0]) if points else vp.num_vars
+        additive_batch_verify(MultilinearKzg, vp, num_vars, comms, points, evals, transcript)
 
 
 def _g2_sub(a, b):
