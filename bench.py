@@ -44,6 +44,37 @@ def main():
     expression, arrays, challenge = _flagship_round(K)
     degree = expression.degree
 
+    # on an accelerator, use the fused Pallas round kernel (limbs-first);
+    # CPU falls through to the XLA-fused jnp path below
+    if jax.devices()[0].platform != "cpu":
+        from halo2_lasso_tpu.ops import pallas_field as PF
+
+        keys = list(arrays.keys())
+        tables = {k: jnp.asarray(np.asarray(v).T.copy()) for k, v in arrays.items()}
+        ch = jnp.asarray(np.asarray(challenge)[:, None].copy())
+        rf = PF.make_sumcheck_round(Fr, expression, keys, degree)
+        msgs, _ = rf(tables, ch)
+        msgs.block_until_ready()
+        iters = 5
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            msgs, _ = rf(tables, ch)
+            ch = msgs[0][:, None]  # chain: defeat any memoization
+        msgs.block_until_ready()
+        dt = (time.perf_counter() - t0) / iters
+        points_per_s = (1 << K) / dt
+        print(
+            json.dumps(
+                {
+                    "metric": f"sumcheck_round_points_per_s_k{K}_pallas",
+                    "value": round(points_per_s, 1),
+                    "unit": "hypercube points/s (vanilla-plonk round msg+fold, fused pallas)",
+                    "vs_baseline": round(points_per_s / REFERENCE_POINTS_PER_S, 4),
+                }
+            )
+        )
+        return
+
     def leaf_builder(values):
         def leaf(kind, arg):
             if kind == "eq_xy":
