@@ -53,9 +53,12 @@ def main():
         tables = {k: jnp.asarray(np.asarray(v).T.copy()) for k, v in arrays.items()}
         ch = jnp.asarray(np.asarray(challenge)[:, None].copy())
         rf = PF.make_sumcheck_round(Fr, expression, keys, degree)
-        msgs, _ = rf(tables, ch)
+        # warm-up: compile + flush first-dispatch anomalies
+        for _ in range(4):
+            msgs, _ = rf(tables, ch)
+            ch = msgs[0][:, None]
         msgs.block_until_ready()
-        iters = 5
+        iters = 10
         t0 = time.perf_counter()
         for _ in range(iters):
             msgs, _ = rf(tables, ch)
