@@ -191,6 +191,59 @@ def from_limbs_first(arr: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(arr, (1, 0))
 
 
+def make_fold_all(spec: FieldSpec, keys):
+    """One kernel folding EVERY table of the sumcheck state with the same
+    challenge: f(tables dict (L, N), x (L, 1)) -> dict (L, N/2)."""
+    L = spec.num_limbs
+    keys = list(keys)
+    nin = len(keys)
+
+    def kernel(*refs):
+        even_refs = refs[:nin]
+        odd_refs = refs[nin : 2 * nin]
+        x_ref = refs[2 * nin]
+        out_refs = refs[2 * nin + 1 :]
+        x = x_ref[:]
+        like = even_refs[0][:][0]
+        xrows = [jnp.broadcast_to(x[i], like.shape) for i in range(L)]
+        for eref, oref, fref in zip(even_refs, odd_refs, out_refs):
+            e = eref[:]
+            o = oref[:]
+            evens = [e[i] for i in range(L)]
+            odds = [o[i] for i in range(L)]
+            diff = _sub_rows(spec, odds, evens)
+            prod = _mul_rows(spec, diff, xrows)
+            folded = _add_rows(spec, prod, evens)
+            fref[:] = jnp.stack(folded, axis=0)
+
+    @jax.jit
+    def fold_fn(tables: dict, x):
+        n = tables[keys[0]].shape[1]
+        assert n % (2 * TILE) == 0
+        nblocks = n // (2 * TILE)
+        evens = [tables[k][:, 0::2] for k in keys]
+        odds = [tables[k][:, 1::2] for k in keys]
+        in_specs = [
+            pl.BlockSpec((L, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
+        ] * (2 * nin) + [
+            pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        ]
+        out_specs = [
+            pl.BlockSpec((L, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
+        ] * nin
+        out_shape = [jax.ShapeDtypeStruct((L, n // 2), jnp.uint32)] * nin
+        outs = pl.pallas_call(
+            kernel,
+            grid=(nblocks,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+        )(*evens, *odds, x)
+        return {k: v for k, v in zip(keys, outs)}
+
+    return fold_fn
+
+
 # ---------------------------------------------------------------------------
 # fused sumcheck round kernel
 # ---------------------------------------------------------------------------
@@ -245,19 +298,25 @@ def _neg_rows(spec, a):
     return _sub_rows(spec, zero, a)
 
 
-def make_sumcheck_round(spec: FieldSpec, expression, poly_keys, degree: int):
+def make_sumcheck_round(
+    spec: FieldSpec,
+    expression,
+    poly_keys,
+    degree: int,
+    num_challenges: int = 0,
+    include_fold: bool = True,
+):
     """Fused EvaluationsProver round: for each grid block, evaluate the
     traced expression at t = 1..degree over the block's half-pairs,
-    accumulate LAZY per-block partial sums, and emit the folded tables —
-    one VMEM-resident pass over every leaf table.
+    accumulate per-block partial sums (16-bit-split), and emit the folded
+    tables — one VMEM-resident pass over every leaf table.
 
-    Returns jitted f(tables: dict key -> (L, N), challenge (L, 1)) ->
-      (partials (degree, L, nblocks) lazy u32, folded dict key -> (L, N/2)).
-    The caller finishes with a (cheap) lazy-limb reduction over blocks.
+    Returns jitted f(tables: dict key -> (L, N), challenge (L, 1),
+                     challenges (num_challenges, L) or None) ->
+      ((degree, L) round message in Montgomery form, folded tables dict).
 
-    The expression's constants/challenges must be baked via
-    Expression.constant (challenge leaves are not supported here; callers
-    substitute them before building the kernel).
+    Expression challenge leaves are runtime inputs, so the kernel compiles
+    ONCE per (expression shape, size) — not per proof.
     """
     from halo2_lasso_tpu.expression import Expression  # noqa
 
@@ -276,9 +335,17 @@ def make_sumcheck_round(spec: FieldSpec, expression, poly_keys, degree: int):
     def kernel(*refs):
         even_refs = refs[:nin]
         odd_refs = refs[nin : 2 * nin]
-        x_ref = refs[2 * nin]
-        out_partial_ref = refs[2 * nin + 1]
-        fold_refs = refs[2 * nin + 2 :]
+        pos = 2 * nin
+        x_ref = None
+        if include_fold:
+            x_ref = refs[pos]
+            pos += 1
+        chal_ref = None
+        if num_challenges:
+            chal_ref = refs[pos]
+            pos += 1
+        out_partial_ref = refs[pos]
+        fold_refs = refs[pos + 1 :]
 
         evens = {}
         odds = {}
@@ -290,25 +357,39 @@ def make_sumcheck_round(spec: FieldSpec, expression, poly_keys, degree: int):
 
         like = evens[keys[0]][0]
 
-        # fold: out = (odd - even) * x + even
-        x = x_ref[:]
-        xrows = [jnp.broadcast_to(x[i], like.shape) for i in range(L)]
-        for key, fref in zip(keys, fold_refs):
-            diff = _sub_rows(spec, odds[key], evens[key])
-            prod = _mul_rows(spec, diff, xrows)
-            folded = _add_rows(spec, prod, evens[key])
-            fref[:] = jnp.stack(folded, axis=0)
+        if include_fold:
+            # fold: out = (odd - even) * x + even
+            x = x_ref[:]
+            xrows = [jnp.broadcast_to(x[i], like.shape) for i in range(L)]
+            for key, fref in zip(keys, fold_refs):
+                diff = _sub_rows(spec, odds[key], evens[key])
+                prod = _mul_rows(spec, diff, xrows)
+                folded = _add_rows(spec, prod, evens[key])
+                fref[:] = jnp.stack(folded, axis=0)
 
         # message: values at t start at odd (t=1), step = odd - even
         steps = {k: _sub_rows(spec, odds[k], evens[k]) for k in keys}
         values = {k: odds[k] for k in keys}
         partial_rows = []
 
+        chal_rows = None
+        if num_challenges:
+            c = chal_ref[:]  # (num_challenges * L, 1)
+            chal_rows = [
+                [
+                    jnp.broadcast_to(c[j * L + i], like.shape)
+                    for i in range(L)
+                ]
+                for j in range(num_challenges)
+            ]
+
         def eval_expr(vals):
             def go(e):
                 k = e.kind
                 if k == "const":
                     return const_rows(e.args[0], like)
+                if k == "challenge":
+                    return chal_rows[e.args[0]]
                 if k == "poly":
                     q = e.args[0]
                     return vals[("poly", q.poly, q.rotation)]
@@ -362,33 +443,48 @@ def make_sumcheck_round(spec: FieldSpec, expression, poly_keys, degree: int):
         )
 
     @jax.jit
-    def round_fn(tables: dict, challenge):
+    def round_fn(tables: dict, challenge=None, challenges=None):
         n = tables[keys[0]].shape[1]
         assert n % (2 * TILE) == 0
         nblocks = n // (2 * TILE)
         evens = [tables[k][:, 0::2] for k in keys]
         odds = [tables[k][:, 1::2] for k in keys]
-        in_specs = (
-            [pl.BlockSpec((L, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)] * (2 * nin)
-            + [pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)]
-        )
+        in_specs = [
+            pl.BlockSpec((L, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
+        ] * (2 * nin)
+        extra_in = []
+        if include_fold:
+            in_specs.append(
+                pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            )
+            extra_in.append(challenge)
+        if num_challenges:
+            in_specs.append(
+                pl.BlockSpec(
+                    (num_challenges * L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
+                )
+            )
+            extra_in.append(challenges.reshape(num_challenges * L, 1))
         out_specs = [
             pl.BlockSpec(
                 (8, degree * 2 * L), lambda i: (i, 0), memory_space=pltpu.VMEM
             )
-        ] + [
-            pl.BlockSpec((L, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
-        ] * nin
+        ]
         out_shape = [
             jax.ShapeDtypeStruct((8 * nblocks, degree * 2 * L), jnp.uint32)
-        ] + [jax.ShapeDtypeStruct((L, n // 2), jnp.uint32)] * nin
+        ]
+        if include_fold:
+            out_specs += [
+                pl.BlockSpec((L, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
+            ] * nin
+            out_shape += [jax.ShapeDtypeStruct((L, n // 2), jnp.uint32)] * nin
         outs = pl.pallas_call(
             kernel,
             grid=(nblocks,),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
-        )(*evens, *odds, challenge)
+        )(*evens, *odds, *extra_in)
         # finish: sum the 16-bit split partials over blocks (u32-safe for
         # nblocks <= 2^16), recombine halves into lazy limbs, mod-reduce.
         split = jnp.sum(outs[0], axis=0, dtype=jnp.uint32).reshape(degree, L, 2)
@@ -402,7 +498,7 @@ def make_sumcheck_round(spec: FieldSpec, expression, poly_keys, degree: int):
         t = jnp.pad(lazy[:, :L], [(0, 0), (0, L)])
         t = t.at[:, L].add(lazy[:, L])
         msgs = FF.mont_mul(spec, FF._mont_reduce(spec, t), jnp.asarray(spec.r2))
-        folded = {k: v for k, v in zip(keys, outs[1:])}
+        folded = {k: v for k, v in zip(keys, outs[1:])} if include_fold else None
         return msgs, folded
 
     return round_fn

@@ -123,6 +123,17 @@ class VirtualPolynomial:
 
 _round_fn_cache: Dict[Tuple, object] = {}
 _fold_fn_cache: Dict[Tuple, object] = {}
+_pallas_cache: Dict[Tuple, object] = {}
+
+
+def _pallas_enabled() -> bool:
+    """Use the fused limbs-first Pallas kernels for large rounds when running
+    on an accelerator (opt-out via HALO2_LASSO_TPU_PALLAS=0)."""
+    import os
+
+    if os.environ.get("HALO2_LASSO_TPU_PALLAS", "1") == "0":
+        return False
+    return jax.devices()[0].platform != "cpu"
 
 
 def _leaf_keys(expression: Expression, num_polys: int):
@@ -239,15 +250,48 @@ def prove(
     points = list(range(degree + 1))
     weights = barycentric_weights(p, points)
 
+    # pallas fast path: limbs-first tables + fused kernels for big rounds
+    PALLAS_MIN = 4096
+    use_pallas = _pallas_enabled() and (1 << num_vars) >= PALLAS_MIN
+    lf_tables = None
+    chal_lf = None
+    if use_pallas:
+        from halo2_lasso_tpu.ops import pallas_field as PF
+
+        lf_tables = {k: jnp.transpose(v, (1, 0)) for k, v in arrays.items()}
+        if virtual_poly.challenges:
+            chal_lf = jnp.asarray(spec.encode(list(virtual_poly.challenges)))
+
     for rnd in range(num_vars):
         size = 1 << (num_vars - rnd)
-        cache_key = (spec.name, expr_key, degree, size)
-        round_fn = _round_fn_cache.get(cache_key)
-        if round_fn is None:
-            round_fn = _make_round_fn(spec, expression, keys, degree)
-            _round_fn_cache[cache_key] = round_fn
 
-        msg_dev = round_fn(arrays, challenges_dev)  # (degree, L): evals at 1..d
+        if use_pallas and size >= PALLAS_MIN:
+            from halo2_lasso_tpu.ops import pallas_field as PF
+
+            pkey = ("msg", spec.name, expr_key, degree, len(keys), size)
+            pfn = _pallas_cache.get(pkey)
+            if pfn is None:
+                pfn = PF.make_sumcheck_round(
+                    spec,
+                    expression,
+                    keys,
+                    degree,
+                    num_challenges=len(virtual_poly.challenges),
+                    include_fold=False,
+                )
+                _pallas_cache[pkey] = pfn
+            msg_dev, _ = pfn(lf_tables, None, chal_lf)
+        else:
+            if lf_tables is not None:  # dropped below the pallas threshold
+                arrays = {k: jnp.transpose(v, (1, 0)) for k, v in lf_tables.items()}
+                lf_tables = None
+            cache_key = (spec.name, expr_key, degree, size)
+            round_fn = _round_fn_cache.get(cache_key)
+            if round_fn is None:
+                round_fn = _make_round_fn(spec, expression, keys, degree)
+                _round_fn_cache[cache_key] = round_fn
+            msg_dev = round_fn(arrays, challenges_dev)  # (degree, L)
+
         msg_tail = [int(v) for v in spec.decode(np.asarray(msg_dev))]
         evals = [(current_sum - msg_tail[0]) % p] + msg_tail
         transcript.write_field_elements(evals)
@@ -257,7 +301,20 @@ def prove(
         current_sum = barycentric_interpolate(p, weights, points, evals, r)
 
         r_dev = jnp.asarray(spec.encode([r]))[0]
-        arrays = fold_fn(arrays, r_dev)
+        if lf_tables is not None:
+            from halo2_lasso_tpu.ops import pallas_field as PF
+
+            fkey = ("fold", spec.name, expr_key, len(keys), size)
+            ffn = _pallas_cache.get(fkey)
+            if ffn is None:
+                ffn = PF.make_fold_all(spec, keys)
+                _pallas_cache[fkey] = ffn
+            lf_tables = ffn(lf_tables, r_dev[:, None])
+        else:
+            arrays = fold_fn(arrays, r_dev)
+
+    if lf_tables is not None:
+        arrays = {k: jnp.transpose(v, (1, 0)) for k, v in lf_tables.items()}
 
     final_evals = [
         int(spec.decode(np.asarray(arrays[("poly", i, 0)][0]))[None][0])
