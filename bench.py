@@ -30,6 +30,12 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+# zstandard cache backend segfaults intermittently on this image; use zlib
+from jax._src import compilation_cache as _cc  # noqa: E402
+
+_cc.zstd = None
+_cc.zstandard = None
+
 K = int(os.environ.get("BENCH_K", "16"))
 REFERENCE_POINTS_PER_S = 4.2e6  # pinned CPU estimate, see BASELINE.md
 

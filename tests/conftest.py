@@ -25,3 +25,10 @@ _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".ja
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+# the zstandard backend of the compilation cache segfaults intermittently on
+# this image; force the zlib fallback (cache entries are then zlib-framed)
+from jax._src import compilation_cache as _cc  # noqa: E402
+
+_cc.zstd = None
+_cc.zstandard = None
