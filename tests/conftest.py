@@ -21,7 +21,10 @@ jax.config.update("jax_platforms", "cpu")
 
 # Big-field limb graphs are expensive to compile; cache compilations across
 # test runs (first run pays, later runs are instant).
-_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache")
+# NOTE: deliberately a DIFFERENT cache dir from bench.py/TPU runs: executables
+# compiled by the axon-attached processes carry different CPU target features
+# and abort/SIGILL when loaded by the plain-CPU test processes.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache_cpu")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
