@@ -59,17 +59,21 @@ def main():
         tables = {k: jnp.asarray(np.asarray(v).T.copy()) for k, v in arrays.items()}
         ch = jnp.asarray(np.asarray(challenge)[:, None].copy())
         rf = PF.make_sumcheck_round(Fr, expression, keys, degree)
+
+        def step(c):
+            msgs, _ = rf(tables, c)
+            # host round-trip: forces a REAL device sync every iteration
+            # (block_until_ready through the device tunnel is unreliable)
+            host = np.asarray(msgs)
+            return jnp.asarray(host[0][:, None])
+
         # warm-up: compile + flush first-dispatch anomalies
         for _ in range(4):
-            msgs, _ = rf(tables, ch)
-            ch = msgs[0][:, None]
-        msgs.block_until_ready()
+            ch = step(ch)
         iters = 10
         t0 = time.perf_counter()
         for _ in range(iters):
-            msgs, _ = rf(tables, ch)
-            ch = msgs[0][:, None]  # chain: defeat any memoization
-        msgs.block_until_ready()
+            ch = step(ch)  # chained + host-synced
         dt = (time.perf_counter() - t0) / iters
         points_per_s = (1 << K) / dt
         print(
