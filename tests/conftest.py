@@ -7,9 +7,13 @@ import sys
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_max_isa" not in flags:
+    # pin the CPU target ISA: this jaxlib otherwise compiles executables with
+    # pseudo-features (+prefer-no-scatter/-gather) the AOT loader rejects,
+    # which intermittently SIGILL/aborts when (re)loading compiled code
+    flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = flags
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
