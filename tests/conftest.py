@@ -32,6 +32,10 @@ _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".ja
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# XLA's internal per-kernel AOT caches are the source of the
+# machine-feature-mismatch loader warnings and intermittent segfaults/aborts
+# during big compiles on this image; keep only the jax-level executable cache.
+jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
 # the zstandard backend of the compilation cache segfaults intermittently on
 # this image; force the zlib fallback (cache entries are then zlib-framed)
