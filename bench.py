@@ -35,6 +35,9 @@ from jax._src import compilation_cache as _cc  # noqa: E402
 
 _cc.zstd = None
 _cc.zstandard = None
+# XLA-internal AOT kernel caches crash intermittently on load (feature
+# mismatch); keep only the jax-level executable cache
+jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
 K = int(os.environ.get("BENCH_K", "16"))
 REFERENCE_POINTS_PER_S = 4.2e6  # pinned CPU estimate, see BASELINE.md
