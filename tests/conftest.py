@@ -43,3 +43,17 @@ from jax._src import compilation_cache as _cc  # noqa: E402
 
 _cc.zstd = None
 _cc.zstandard = None
+
+# executable.serialize() SEGFAULTS for the large fused sumcheck-round
+# executables on this jaxlib CPU backend; skip persisting those modules
+# (they are per-expression anyway — recompiling is cheaper than crashing)
+_orig_put = _cc.put_executable_and_time
+
+
+def _safe_put(cache_key, module_name, executable, backend, compile_time):
+    if "round_fn" in module_name or "prove" in module_name:
+        return
+    return _orig_put(cache_key, module_name, executable, backend, compile_time)
+
+
+_cc.put_executable_and_time = _safe_put
