@@ -13,6 +13,10 @@ if "xla_cpu_max_isa" not in flags:
     # pseudo-features (+prefer-no-scatter/-gather) the AOT loader rejects,
     # which intermittently SIGILL/aborts when (re)loading compiled code
     flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+if "parallel_codegen" not in flags:
+    # XLA:CPU's parallel codegen intermittently segfaults on the very large
+    # fused sumcheck-round modules; compile single-split
+    flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
 os.environ["XLA_FLAGS"] = flags
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
