@@ -48,16 +48,10 @@ from jax._src import compilation_cache as _cc  # noqa: E402
 _cc.zstd = None
 _cc.zstandard = None
 
-# executable.serialize() SEGFAULTS for the large fused sumcheck-round
-# executables on this jaxlib CPU backend; skip persisting those modules
-# (they are per-expression anyway — recompiling is cheaper than crashing)
-_orig_put = _cc.put_executable_and_time
-
-
-def _safe_put(cache_key, module_name, executable, backend, compile_time):
-    if "round_fn" in module_name or "prove" in module_name:
-        return
-    return _orig_put(cache_key, module_name, executable, backend, compile_time)
-
-
-_cc.put_executable_and_time = _safe_put
+# NOTE on stability: this jaxlib's CPU backend intermittently segfaults in
+# long sessions that accumulate many very large compiles (observed inside
+# backend_compile_and_load and executable.serialize, at varying points;
+# individual tests always pass in isolation). The persistent cache converts
+# those long sessions into cheap cache hits after a warm-up run, which is
+# the effective mitigation. If a full-suite run crashes mid-way, re-running
+# resumes from the cache and completes.
