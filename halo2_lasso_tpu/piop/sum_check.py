@@ -151,38 +151,53 @@ def _leaf_keys(expression: Expression, num_polys: int):
 
 
 def _make_round_fn(spec: FieldSpec, expression: Expression, keys, degree: int):
-    """Jitted: arrays dict -> (degree, L) evals at t = 1..degree."""
+    """arrays dict -> (degree, L) evals at t = 1..degree.
+
+    One SMALL jit per evaluation point instead of one big module: this
+    jaxlib's CPU backend misbehaves on very large modules (see
+    tests/conftest.py), and the re-computed leaf prep per point is cheap.
+    """
+
+    def leaf_builder(values):
+        def leaf(kind, arg):
+            if kind == "identity":
+                return values[("identity",)]
+            if kind == "lagrange":
+                return values[("lagrange", arg)]
+            if kind == "eq_xy":
+                return values[("eq", arg)]
+            if kind == "poly":
+                return values[("poly", arg.poly, arg.rotation)]
+            raise ValueError(kind)
+
+        return leaf
+
+    from halo2_lasso_tpu.expression import evaluate_jnp
+
+    def make_point_fn(t):
+        def round_eval(arrays: Dict, challenges: List[jnp.ndarray]):
+            e1 = {k: arrays[k][1::2] for k in arrays}
+            if t == 1:
+                values = e1
+            else:
+                step = {k: F.sub(spec, e1[k], arrays[k][0::2]) for k in arrays}
+                tm1 = jnp.asarray(spec.encode([t - 1]))[0]
+                values = {
+                    k: F.add(spec, e1[k], F.mont_mul(spec, step[k], tm1[None, :]))
+                    for k in arrays
+                }
+            term = evaluate_jnp(spec, expression, leaf_builder(values), challenges)
+            return F.sum_reduce(spec, term)
+
+        round_eval.__name__ = f"round_eval_t{t}"
+        return jax.jit(round_eval)
+
+    point_fns = [make_point_fn(t) for t in range(1, degree + 1)]
 
     def round_fn(arrays: Dict, challenges: List[jnp.ndarray]):
-        e1 = {k: arrays[k][1::2] for k in arrays}
-        step = {k: F.sub(spec, e1[k], arrays[k][0::2]) for k in arrays}
+        return jnp.stack([fn(arrays, challenges) for fn in point_fns])
 
-        def leaf_builder(values):
-            def leaf(kind, arg):
-                if kind == "identity":
-                    return values[("identity",)]
-                if kind == "lagrange":
-                    return values[("lagrange", arg)]
-                if kind == "eq_xy":
-                    return values[("eq", arg)]
-                if kind == "poly":
-                    return values[("poly", arg.poly, arg.rotation)]
-                raise ValueError(kind)
-
-            return leaf
-
-        from halo2_lasso_tpu.expression import evaluate_jnp
-
-        out = []
-        values = e1
-        for t in range(1, degree + 1):
-            if t > 1:
-                values = {k: F.add(spec, values[k], step[k]) for k in values}
-            term = evaluate_jnp(spec, expression, leaf_builder(values), challenges)
-            out.append(F.sum_reduce(spec, term))
-        return jnp.stack(out)
-
-    return jax.jit(round_fn)
+    return round_fn
 
 
 def _make_fold_fn(spec: FieldSpec):

@@ -48,10 +48,18 @@ from jax._src import compilation_cache as _cc  # noqa: E402
 _cc.zstd = None
 _cc.zstandard = None
 
-# NOTE on stability: this jaxlib's CPU backend intermittently segfaults in
-# long sessions that accumulate many very large compiles (observed inside
-# backend_compile_and_load and executable.serialize, at varying points;
-# individual tests always pass in isolation). The persistent cache converts
-# those long sessions into cheap cache hits after a warm-up run, which is
-# the effective mitigation. If a full-suite run crashes mid-way, re-running
-# resumes from the cache and completes.
+# STABILITY: this jaxlib's CPU backend deterministically segfaults when
+# SERIALIZING very large executables for the persistent cache (the biggest
+# hyperplonk round functions), and occasionally when compiling them in long
+# sessions. Mitigations: don't persist those modules (below), and keep the
+# per-module size down (the sumcheck round function is split per eval point).
+_orig_put = _cc.put_executable_and_time
+
+
+def _safe_put(cache_key, module_name, executable, backend, compile_time):
+    if "round_eval" in module_name or "round_fn" in module_name:
+        return
+    return _orig_put(cache_key, module_name, executable, backend, compile_time)
+
+
+_cc.put_executable_and_time = _safe_put
