@@ -39,7 +39,7 @@ _cc.zstandard = None
 # mismatch); keep only the jax-level executable cache
 jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
-K = int(os.environ.get("BENCH_K", "16"))
+K = int(os.environ.get("BENCH_K", "18"))
 REFERENCE_POINTS_PER_S = 4.2e6  # pinned CPU estimate, see BASELINE.md
 
 
