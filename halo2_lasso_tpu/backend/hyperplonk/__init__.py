@@ -28,7 +28,7 @@ from halo2_lasso_tpu.utils.timer import timed
 
 
 def new_transcript(proof: Optional[bytes] = None) -> Keccak256Transcript:
-    return Keccak256Transcript(Fr.modulus, base_modulus=FQ_MODULUS, proof=proof)
+    return Keccak256Transcript(Fr.modulus, base_modulus=FQ_MODULUS, proof=proof, curve_b=3)
 
 
 @dataclasses.dataclass

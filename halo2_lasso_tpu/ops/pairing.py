@@ -7,6 +7,35 @@ the prover never touches pairings.
 
 Tower: Fq2 = Fq[u]/(u^2+1); G2 points are twisted into Fq12 represented as
 Fq[w]/(w^12 - 18 w^6 + 82) (equivalently w^6 = 9 + u).
+
+ATTRIBUTION: the FQP extension-field class, the twist into the w^12 tower,
+the Miller-loop structure (`linefunc`, `ATE_LOOP_COUNT`), and the final-
+exponentiation flow are adapted from the Ethereum Foundation's `py_ecc`
+library (https://github.com/ethereum/py_ecc, `py_ecc/bn128/`), which is
+distributed under the MIT License:
+
+    Copyright (c) 2015 Vitalik Buterin
+
+    Permission is hereby granted, free of charge, to any person obtaining a
+    copy of this software and associated documentation files (the
+    "Software"), to deal in the Software without restriction, including
+    without limitation the rights to use, copy, modify, merge, publish,
+    distribute, sublicense, and/or sell copies of the Software, and to
+    permit persons to whom the Software is furnished to do so, subject to
+    the following conditions: The above copyright notice and this
+    permission notice shall be included in all copies or substantial
+    portions of the Software.
+
+    THE SOFTWARE IS PROVIDED "AS IS", WITHOUT WARRANTY OF ANY KIND, EXPRESS
+    OR IMPLIED, INCLUDING BUT NOT LIMITED TO THE WARRANTIES OF
+    MERCHANTABILITY, FITNESS FOR A PARTICULAR PURPOSE AND NONINFRINGEMENT.
+    IN NO EVENT SHALL THE AUTHORS OR COPYRIGHT HOLDERS BE LIABLE FOR ANY
+    CLAIM, DAMAGES OR OTHER LIABILITY, WHETHER IN AN ACTION OF CONTRACT,
+    TORT OR OTHERWISE, ARISING FROM, OUT OF OR IN CONNECTION WITH THE
+    SOFTWARE OR THE USE OR OTHER DEALINGS IN THE SOFTWARE.
+
+It is NOT derived from `/root/reference` (which delegates pairings to the
+halo2_curves crate); it is host-side, verifier-only code off the TPU path.
 """
 
 from __future__ import annotations

@@ -37,9 +37,18 @@ class Keccak256Transcript:
         scalar_modulus: int,
         base_modulus: Optional[int] = None,
         proof: Optional[bytes] = None,
+        curve_b: Optional[int] = None,
     ):
         self.scalar_modulus = scalar_modulus
         self.base_modulus = base_modulus or scalar_modulus
+        # y^2 = x^3 + b coefficient of the commitment curve: when set,
+        # `read_commitment` rejects off-curve points (the reference reads
+        # points through halo2_curves' checked CurveRead deserialization,
+        # util/transcript.rs:168-238 — accepting unchecked points would be an
+        # invalid-curve soundness hole). All supported curves (BN254 G1,
+        # grumpkin, pasta) have a = 0 and cofactor 1, so the curve equation
+        # is also the full subgroup check.
+        self.curve_b = curve_b
         self._state = Keccak256()
         self._stream = io.BytesIO(proof if proof is not None else b"")
         self._repr_bytes = 32
@@ -57,10 +66,13 @@ class Keccak256Transcript:
         """Absorb an affine EC point (x, y) in base-field canonical ints.
 
         NOTE: the reference rejects the identity here (coordinates() is None
-        for infinity); we mirror by asserting a non-identity affine point.
+        for infinity); we mirror by rejecting (0, 0). Raises TranscriptError
+        (not assert) so a malformed proof is cleanly rejected and the check
+        survives `python -O`.
         """
         x, y = comm
-        assert not (x == 0 and y == 0), "identity commitment cannot be absorbed"
+        if x == 0 and y == 0:
+            raise TranscriptError("identity commitment cannot be absorbed")
         self._state.update(int(x).to_bytes(self._repr_bytes, "little"))
         self._state.update(int(y).to_bytes(self._repr_bytes, "little"))
 
@@ -121,7 +133,10 @@ class Keccak256Transcript:
         y = int.from_bytes(self._read_exact(self._repr_bytes), "big")
         if x >= self.base_modulus or y >= self.base_modulus:
             raise TranscriptError("invalid point encoding in proof")
-        # on-curve check happens at the PCS layer (needs curve params)
+        if self.curve_b is not None:
+            p = self.base_modulus
+            if (y * y - x * x * x - self.curve_b) % p != 0:
+                raise TranscriptError("off-curve point in proof")
         self.common_commitment((x, y))
         return (x, y)
 

@@ -22,7 +22,7 @@ def rand_fes(n):
 
 
 def new_t(proof=None):
-    return Keccak256Transcript(P, base_modulus=FQ_MODULUS, proof=proof)
+    return Keccak256Transcript(P, base_modulus=FQ_MODULUS, proof=proof, curve_b=3)
 
 
 @pytest.mark.parametrize("num_vars", [3, 5])

@@ -15,7 +15,7 @@ RNG = np.random.RandomState(77)
 
 
 def new_t(proof=None):
-    return Keccak256Transcript(P, base_modulus=FQ_MODULUS, proof=proof)
+    return Keccak256Transcript(P, base_modulus=FQ_MODULUS, proof=proof, curve_b=3)
 
 
 def setup_pcs(num_vars):

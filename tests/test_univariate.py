@@ -21,7 +21,7 @@ def rand_fes(n):
 
 
 def new_t(proof=None):
-    return Keccak256Transcript(P, base_modulus=FQ_MODULUS, proof=proof)
+    return Keccak256Transcript(P, base_modulus=FQ_MODULUS, proof=proof, curve_b=3)
 
 
 def test_evaluate_and_divide():
