@@ -401,6 +401,25 @@ def select(cond: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(cond[..., None], a, b)
 
 
+# Jit the whole field-op layer (FieldSpec is a frozen/hashable dataclass, so
+# it rides as a static argument). Prover-side host orchestration calls these
+# eagerly all over; without this each call dispatches its dozens of limb ops
+# one at a time — per-op trace/lower dominated e2e wall time. Inside an outer
+# jit the wrappers trace through (and the sub-jaxpr lowering cache dedups
+# repeated instantiations).
+add = jax.jit(add, static_argnums=0)
+sub = jax.jit(sub, static_argnums=0)
+neg = jax.jit(neg, static_argnums=0)
+is_zero = jax.jit(is_zero, static_argnums=0)
+mont_mul = jax.jit(mont_mul, static_argnums=0)
+square = jax.jit(square, static_argnums=0)
+to_mont = jax.jit(to_mont, static_argnums=0)
+from_mont = jax.jit(from_mont, static_argnums=0)
+pow_fixed = jax.jit(pow_fixed, static_argnums=(0, 2))
+inv = jax.jit(inv, static_argnums=0)
+batch_inv = jax.jit(batch_inv, static_argnums=(0, 2))
+
+
 def double(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     return add(spec, a, a)
 
@@ -440,3 +459,6 @@ def sum_reduce(spec: FieldSpec, a: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
         a = add(spec, a[0::2], a[1::2])
         n = a.shape[0]
     return a[0]
+
+
+sum_reduce = jax.jit(sum_reduce, static_argnums=(0, 2))

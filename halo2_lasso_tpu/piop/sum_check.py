@@ -150,13 +150,51 @@ def _leaf_keys(expression: Expression, num_polys: int):
     return keys
 
 
-def _make_round_fn(spec: FieldSpec, expression: Expression, keys, degree: int):
-    """arrays dict -> (degree, L) evals at t = 1..degree.
+def _challenge_only_leaf(kind, arg):
+    raise ValueError("coefficient expressions must be challenge-only")
 
-    One SMALL jit per evaluation point instead of one big module: this
-    jaxlib's CPU backend misbehaves on very large modules (see
-    tests/conftest.py), and the re-computed leaf prep per point is cheap.
-    """
+
+def _term_leaf_keys(term: Expression):
+    """Leaf-array keys a single term reads."""
+    keys = [("poly", q.poly, q.rotation) for q in term.used_query]
+    keys += [("eq", i) for i in term.used_eq_xy]
+    if term.used_identity:
+        keys.append(("identity",))
+    keys += [("lagrange", i) for i in term.used_lagrange]
+    return keys
+
+
+def _chunk_max_muls() -> int:
+    """Per-XLA-module multiplication budget for the chunked round evaluation.
+    Bounds compile size/time for arbitrarily large composed expressions (the
+    structural fix for this image's jaxlib large-module instability)."""
+    import os
+
+    return int(os.environ.get("HALO2_LASSO_TPU_CHUNK_MULS", "24"))
+
+
+def _pack_term_chunks(coeff_terms, max_muls: int) -> List[List[int]]:
+    """Greedily group term indices so each chunk traces <= max_muls field
+    multiplications per evaluation point."""
+    chunks: List[List[int]] = []
+    cur: List[int] = []
+    cur_muls = 0
+    for i, (_, term) in enumerate(coeff_terms):
+        m = max(1, term.mul_count)
+        if cur and cur_muls + m > max_muls:
+            chunks.append(cur)
+            cur, cur_muls = [], 0
+        cur.append(i)
+        cur_muls += m
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
+def _make_chunk_fn(spec: FieldSpec, terms: Sequence[Expression], degree: int):
+    """arrays dict -> (degree, num_terms, L) per-term column sums at
+    t = 1..degree. The alpha/coefficient combination happens on host
+    (round message is linear in the terms)."""
 
     def leaf_builder(values):
         def leaf(kind, arg):
@@ -174,30 +212,40 @@ def _make_round_fn(spec: FieldSpec, expression: Expression, keys, degree: int):
 
     from halo2_lasso_tpu.expression import evaluate_jnp
 
-    def make_point_fn(t):
-        def round_eval(arrays: Dict, challenges: List[jnp.ndarray]):
-            e1 = {k: arrays[k][1::2] for k in arrays}
-            if t == 1:
-                values = e1
-            else:
-                step = {k: F.sub(spec, e1[k], arrays[k][0::2]) for k in arrays}
-                tm1 = jnp.asarray(spec.encode([t - 1]))[0]
-                values = {
-                    k: F.add(spec, e1[k], F.mont_mul(spec, step[k], tm1[None, :]))
-                    for k in arrays
-                }
-            term = evaluate_jnp(spec, expression, leaf_builder(values), challenges)
-            return F.sum_reduce(spec, term)
+    used = []
+    for t in terms:
+        for k in _term_leaf_keys(t):
+            if k not in used:
+                used.append(k)
 
-        round_eval.__name__ = f"round_eval_t{t}"
-        return jax.jit(round_eval)
+    def chunk_fn(arrays: Dict, challenges: List[jnp.ndarray]):
+        e1 = {k: arrays[k][1::2] for k in used}
+        half = arrays[used[0]].shape[0] // 2 if used else 1
+        step = (
+            {k: F.sub(spec, e1[k], arrays[k][0::2]) for k in used}
+            if degree > 1
+            else None
+        )
+        half_c = jnp.asarray(spec.encode([half]))[0]
+        outs = []
+        values = e1
+        for t in range(1, degree + 1):
+            if t > 1:
+                values = {k: F.add(spec, values[k], step[k]) for k in used}
+            row = []
+            for term in terms:
+                v = evaluate_jnp(spec, term, leaf_builder(values), challenges)
+                if v.ndim == 1:
+                    # hypercube-constant term: sum over half-pairs = half * v
+                    v = F.mont_mul(spec, v, half_c)
+                else:
+                    v = F.sum_reduce(spec, v)
+                row.append(v)
+            outs.append(jnp.stack(row))
+        return jnp.stack(outs)
 
-    point_fns = [make_point_fn(t) for t in range(1, degree + 1)]
-
-    def round_fn(arrays: Dict, challenges: List[jnp.ndarray]):
-        return jnp.stack([fn(arrays, challenges) for fn in point_fns])
-
-    return round_fn
+    chunk_fn.__name__ = f"chunk_fn_{len(terms)}t"
+    return jax.jit(chunk_fn)
 
 
 def _make_fold_fn(spec: FieldSpec):
@@ -260,6 +308,17 @@ def prove(
     _round_fn_cache.setdefault(("expr", expr_key), expression)  # keep alive
     fold_fn = _fold_fn_cache.setdefault(spec.name, _make_fold_fn(spec))
 
+    # chunked round evaluation: undo the top-level challenge batching so each
+    # XLA module stays small (see split_challenge_terms / _pack_term_chunks)
+    from halo2_lasso_tpu.expression import evaluate_host, split_challenge_terms
+
+    coeff_terms = split_challenge_terms(expression, p)
+    coeff_vals = [
+        evaluate_host(c, p, _challenge_only_leaf, virtual_poly.challenges)
+        for c, _ in coeff_terms
+    ]
+    chunk_lists = _pack_term_chunks(coeff_terms, _chunk_max_muls())
+
     challenges: List[int] = []
     current_sum = sum_ % p
     points = list(range(degree + 1))
@@ -296,18 +355,34 @@ def prove(
                 )
                 _pallas_cache[pkey] = pfn
             msg_dev, _ = pfn(lf_tables, None, chal_lf)
+            msg_tail = [int(v) for v in spec.decode(np.asarray(msg_dev))]
         else:
             if lf_tables is not None:  # dropped below the pallas threshold
                 arrays = {k: jnp.transpose(v, (1, 0)) for k, v in lf_tables.items()}
                 lf_tables = None
-            cache_key = (spec.name, expr_key, degree, size)
-            round_fn = _round_fn_cache.get(cache_key)
-            if round_fn is None:
-                round_fn = _make_round_fn(spec, expression, keys, degree)
-                _round_fn_cache[cache_key] = round_fn
-            msg_dev = round_fn(arrays, challenges_dev)  # (degree, L)
-
-        msg_tail = [int(v) for v in spec.decode(np.asarray(msg_dev))]
+            chunk_outs = []
+            for idxs in chunk_lists:
+                terms = [coeff_terms[i][1] for i in idxs]
+                cache_key = (
+                    spec.name,
+                    tuple(t.structural_key for t in terms),
+                    degree,
+                    size,
+                    len(challenges_dev),
+                )
+                chunk_fn = _round_fn_cache.get(cache_key)
+                if chunk_fn is None:
+                    chunk_fn = _make_chunk_fn(spec, terms, degree)
+                    _round_fn_cache[cache_key] = chunk_fn
+                chunk_outs.append((idxs, chunk_fn(arrays, challenges_dev)))
+            # host alpha-combination of per-term column sums
+            msg_tail = [0] * degree
+            for idxs, out in chunk_outs:
+                vals = spec.decode(np.asarray(out))  # (degree, T) object ints
+                for t in range(degree):
+                    for j, i in enumerate(idxs):
+                        msg_tail[t] += coeff_vals[i] * int(vals[t][j])
+            msg_tail = [v % p for v in msg_tail]
         evals = [(current_sum - msg_tail[0]) % p] + msg_tail
         transcript.write_field_elements(evals)
 

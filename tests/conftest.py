@@ -57,7 +57,11 @@ _orig_put = _cc.put_executable_and_time
 
 
 def _safe_put(cache_key, module_name, executable, backend, compile_time):
-    if "round_eval" in module_name or "round_fn" in module_name:
+    if any(tag in module_name for tag in ("round_eval", "round_fn", "chunk_fn", "fold_fn")):
+        return
+    if compile_time > 5.0:
+        # serialization of large executables is what segfaults; compile time
+        # is the only size proxy available before serializing
         return
     return _orig_put(cache_key, module_name, executable, backend, compile_time)
 
