@@ -117,26 +117,67 @@ def lookup_compressed_polys(
     return out
 
 
+@jax.jit
+def _m_poly_counts(inp: jnp.ndarray, tbl: jnp.ndarray):
+    """Device multiplicity count: m[idx] = #occurrences of table[idx] among
+    inputs, attributed to the LAST index of each distinct table value
+    (prover.rs:150-180 hashmap semantics, as sort + segment reduction).
+
+    Returns (m int32 counts (n,), invalid flag): invalid is set iff some
+    input value does not occur in the table."""
+    L = inp.shape[1]
+    n = tbl.shape[0]
+    arr = jnp.concatenate([tbl, inp])  # (2n, L) montgomery limbs
+    is_input = jnp.concatenate(
+        [jnp.zeros(n, jnp.int32), jnp.ones(n, jnp.int32)]
+    )
+    tbl_idx = jnp.concatenate(
+        [jnp.arange(n, dtype=jnp.int32), jnp.full(n, -1, jnp.int32)]
+    )
+    keys = tuple(arr[:, L - 1 - i] for i in range(L))  # msb-first lex order
+    sorted_ = jax.lax.sort(keys + (is_input, tbl_idx), num_keys=L)
+    s_limbs = jnp.stack(sorted_[:L], axis=1)
+    s_inp, s_idx = sorted_[L], sorted_[L + 1]
+    new_grp = jnp.concatenate(
+        [
+            jnp.ones(1, jnp.int32),
+            jnp.any(s_limbs[1:] != s_limbs[:-1], axis=1).astype(jnp.int32),
+        ]
+    )
+    gid = jnp.cumsum(new_grp) - 1
+    seg_count = jax.ops.segment_sum(s_inp, gid, num_segments=2 * n)
+    seg_idx = jax.ops.segment_max(s_idx, gid, num_segments=2 * n)
+    invalid = jnp.any(jnp.logical_and(seg_count > 0, seg_idx < 0))
+    m = (
+        jnp.zeros(n, jnp.int32)
+        .at[jnp.where(seg_idx >= 0, seg_idx, n)]
+        .set(seg_count, mode="drop")
+    )
+    return m, invalid
+
+
+@jax.jit
+def _counts_to_field(m: jnp.ndarray) -> jnp.ndarray:
+    """(n,) int32 counts -> (n, L) Montgomery limbs, on device."""
+    spec = Fr
+    limbs = jnp.zeros((m.shape[0], spec.num_limbs), jnp.uint32)
+    mu = m.astype(jnp.uint32)
+    limbs = limbs.at[:, 0].set(mu & 0xFFFF).at[:, 1].set(mu >> 16)
+    return F.to_mont(spec, limbs)
+
+
 def lookup_m_polys(
     compressed: Sequence[Tuple[jnp.ndarray, jnp.ndarray]]
 ) -> List[jnp.ndarray]:
     """prover.rs:139-192: m[idx] = multiplicity of table[idx] among inputs
-    (idx = LAST index of each distinct table value). Host sort-based count."""
-    spec = Fr
+    (idx = LAST index of each distinct table value). Fully on device — the
+    previous host decode + dict loop was O(2^k) python on the critical path."""
     out = []
     for inp_d, tbl_d in compressed:
-        inp = spec.decode(np.asarray(inp_d))
-        tbl = spec.decode(np.asarray(tbl_d))
-        index_map = {}
-        for i, v in enumerate(tbl):
-            index_map[int(v)] = i  # later duplicates overwrite -> last index
-        m = [0] * len(tbl)
-        for v in inp:
-            idx = index_map.get(int(v))
-            if idx is None:
-                raise ProofError("invalid lookup input")
-            m[idx] += 1
-        out.append(jnp.asarray(spec.encode(m)))
+        m, invalid = _m_poly_counts(inp_d, tbl_d)
+        if bool(invalid):
+            raise ProofError("invalid lookup input")
+        out.append(_counts_to_field(m))
     return out
 
 

@@ -95,15 +95,18 @@ def build_witness(table: LassoTable, indices: Sequence[int]) -> LassoWitness:
         fc[uniq] = counts
         final_cts.append(fc)
 
-    # outputs via g over E values (host ints)
+    # outputs via g over E values — vectorized: evaluate_host's catamorphism
+    # is elementwise over numpy object arrays, so ONE pass computes all m
+    # outputs (the per-lookup host loop was minutes of pure python at 2^20)
     from halo2_lasso_tpu.expression import evaluate_host
 
-    outputs = np.empty(m, dtype=object)
-    for i in range(m):
-        ev = [int(e_vals[j][i]) for j in range(len(table.memories))]
-        outputs[i] = evaluate_host(
-            table.g, P, lambda kind, q: ev[q.poly] if kind == "poly" else 0, []
-        )
+    e_arrs = [np.asarray(e, dtype=object) for e in e_vals]
+    outputs = np.asarray(
+        evaluate_host(
+            table.g, P, lambda kind, q: e_arrs[q.poly] if kind == "poly" else 0, []
+        ),
+        dtype=object,
+    )
 
     return LassoWitness(
         num_lookup_vars=m.bit_length() - 1,
@@ -234,7 +237,7 @@ def prove(
             evals.append(Evaluation(poly_idx, 2, val))
         transcript.write_field_elements(xm_vals)
     with timed.scope("lasso_batch_open_m"):
-        MultilinearKzg.batch_open(pp, polys, points, evals, transcript)
+        MultilinearKzg.batch_open(pp, polys, None, points, evals, transcript)
 
     # final_cts at x_n
     n_evals = []
@@ -245,7 +248,7 @@ def prove(
                 Evaluation(j, 0, _decode_scalar(mle.evaluate(spec, poly, xn)))
             )
         transcript.write_field_elements([e.value for e in n_evals])
-        MultilinearKzg.batch_open(pp, fc_polys, [x_n], n_evals, transcript)
+        MultilinearKzg.batch_open(pp, fc_polys, None, [x_n], n_evals, transcript)
 
 
 @timed("lasso_verify")
@@ -338,9 +341,12 @@ def verify(
 def _subtable_mle_eval(subtable, x: Sequence[int]) -> int:
     """Evaluate the subtable's MLE at x on host.
 
-    Generic O(N) host fold — structured subtables admit O(log N) closed
-    forms; used here for verifier simplicity (N_sub <= 2^16).
-    """
+    Structured subtables carry an O(log N_sub) closed form (`mle_eval`,
+    lasso/tables.py) — verifier cost independent of the subtable size, which
+    is the point of Lasso/Surge. The O(N) fold remains as the fallback for
+    ad-hoc tables (and as the test oracle for the closed forms)."""
+    if subtable.mle_eval is not None:
+        return subtable.mle_eval([xi % P for xi in x])
     vals = [int(v) for v in subtable.values()]
     for xi in reversed(x):
         half = len(vals) // 2

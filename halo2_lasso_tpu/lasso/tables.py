@@ -29,11 +29,18 @@ P = Fr.modulus
 
 @dataclasses.dataclass(frozen=True)
 class Subtable:
-    """A materialized subtable: values[k] for k in [0, 2^index_bits)."""
+    """A materialized subtable: values[k] for k in [0, 2^index_bits).
+
+    `mle_eval(x) -> int`, when provided, evaluates the subtable's multilinear
+    extension at a point in O(index_bits) — the whole point of structured
+    Lasso tables: verifier cost independent of the subtable size. Convention:
+    x[j] binds index bit j (lsb = x[0]), matching the prover-side fold order.
+    """
 
     name: str
     index_bits: int
     fn: Callable[[int], int]
+    mle_eval: Callable[[Sequence[int]], int] = None
 
     @functools.lru_cache(maxsize=None)
     def values(self) -> np.ndarray:
@@ -106,6 +113,73 @@ class LassoTable:
 
 
 # ---------------------------------------------------------------------------
+# closed-form subtable MLEs (verifier-side O(log N_sub) evaluation)
+# ---------------------------------------------------------------------------
+# Operand-subtable index layout: k = (x_chunk << b) | y_chunk, so for a point
+# z of length 2b: y_j = z[j], x_j = z[b + j].
+
+
+def _identity_mle(ib: int):
+    def ev(z: Sequence[int]) -> int:
+        return sum((1 << j) * z[j] for j in range(ib)) % P
+
+    return ev
+
+
+def _bitop_mle(b: int, combine):
+    """MLE of sum_j 2^j op(x_j, y_j) with op multilinear per bit."""
+
+    def ev(z: Sequence[int]) -> int:
+        acc = 0
+        for j in range(b):
+            acc += (1 << j) * combine(z[b + j], z[j])
+        return acc % P
+
+    return ev
+
+
+def _and_mle(b):
+    return _bitop_mle(b, lambda x, y: x * y % P)
+
+
+def _xor_mle(b):
+    return _bitop_mle(b, lambda x, y: (x + y - 2 * x * y) % P)
+
+
+def _or_mle(b):
+    return _bitop_mle(b, lambda x, y: (x + y - x * y) % P)
+
+
+def _eq_bit(x, y):
+    return (x * y + (1 - x) * (1 - y)) % P
+
+
+def _lt_mle(b: int):
+    """MLE of [x < y]: sum_j (1-x_j) y_j prod_{k>j} eq(x_k, y_k)."""
+
+    def ev(z: Sequence[int]) -> int:
+        acc = 0
+        suffix = 1  # prod_{k>j} eq_k, built from the top bit down
+        for j in range(b - 1, -1, -1):
+            x, y = z[b + j], z[j]
+            acc = (acc + (1 - x) * y % P * suffix) % P
+            suffix = suffix * _eq_bit(x, y) % P
+        return acc
+
+    return ev
+
+
+def _eq_mle(b: int):
+    def ev(z: Sequence[int]) -> int:
+        acc = 1
+        for j in range(b):
+            acc = acc * _eq_bit(z[b + j], z[j]) % P
+        return acc
+
+    return ev
+
+
+# ---------------------------------------------------------------------------
 # standard tables
 # ---------------------------------------------------------------------------
 
@@ -122,7 +196,8 @@ def _weighted_sum(alpha: int, weight_bits: int) -> Expression:
 def range_table(index_bits: int, chunk_bits: int = 16) -> LassoTable:
     """T[r] = r  (range check into [0, 2^index_bits))."""
     c = -(-index_bits // chunk_bits)
-    sub = Subtable("identity", min(chunk_bits, index_bits), lambda k: k)
+    ib = min(chunk_bits, index_bits)
+    sub = Subtable("identity", ib, lambda k: k, mle_eval=_identity_mle(ib))
     # chunks may be uneven; use a full-width subtable per chunk, with the top
     # chunk's range enforced by table size. For simplicity require divisible.
     assert index_bits % chunk_bits == 0 or c == 1
@@ -137,14 +212,17 @@ def range_table(index_bits: int, chunk_bits: int = 16) -> LassoTable:
     )
 
 
-def _operand_table(name: str, op, operand_bits: int, chunk_bits: int) -> LassoTable:
+def _operand_table(name: str, op, operand_bits: int, chunk_bits: int, mle_eval=None) -> LassoTable:
     """Tables over two operands x, y with bitwise-chunkable op: index =
     x || y, subtable over (x_j || y_j)."""
     assert operand_bits % chunk_bits == 0
     c = operand_bits // chunk_bits
     b = chunk_bits
     sub = Subtable(
-        f"{name}_{b}", 2 * b, lambda k: op((k >> b) & ((1 << b) - 1), k & ((1 << b) - 1))
+        f"{name}_{b}",
+        2 * b,
+        lambda k: op((k >> b) & ((1 << b) - 1), k & ((1 << b) - 1)),
+        mle_eval=mle_eval,
     )
     mems = tuple(Memory(j, sub) for j in range(c))
     return LassoTable(
@@ -160,17 +238,17 @@ def _operand_table(name: str, op, operand_bits: int, chunk_bits: int) -> LassoTa
 
 @functools.lru_cache(maxsize=None)
 def and_table(operand_bits: int = 32, chunk_bits: int = 8) -> LassoTable:
-    return _operand_table("and", lambda x, y: x & y, operand_bits, chunk_bits)
+    return _operand_table("and", lambda x, y: x & y, operand_bits, chunk_bits, _and_mle(chunk_bits))
 
 
 @functools.lru_cache(maxsize=None)
 def xor_table(operand_bits: int = 32, chunk_bits: int = 8) -> LassoTable:
-    return _operand_table("xor", lambda x, y: x ^ y, operand_bits, chunk_bits)
+    return _operand_table("xor", lambda x, y: x ^ y, operand_bits, chunk_bits, _xor_mle(chunk_bits))
 
 
 @functools.lru_cache(maxsize=None)
 def or_table(operand_bits: int = 32, chunk_bits: int = 8) -> LassoTable:
-    return _operand_table("or", lambda x, y: x | y, operand_bits, chunk_bits)
+    return _operand_table("or", lambda x, y: x | y, operand_bits, chunk_bits, _or_mle(chunk_bits))
 
 
 @functools.lru_cache(maxsize=None)
@@ -184,10 +262,16 @@ def lt_table(operand_bits: int = 32, chunk_bits: int = 8) -> LassoTable:
     c = operand_bits // chunk_bits
     b = chunk_bits
     lt_sub = Subtable(
-        f"lt_{b}", 2 * b, lambda k: 1 if ((k >> b) & ((1 << b) - 1)) < (k & ((1 << b) - 1)) else 0
+        f"lt_{b}",
+        2 * b,
+        lambda k: 1 if ((k >> b) & ((1 << b) - 1)) < (k & ((1 << b) - 1)) else 0,
+        mle_eval=_lt_mle(b),
     )
     eq_sub = Subtable(
-        f"eq_{b}", 2 * b, lambda k: 1 if ((k >> b) & ((1 << b) - 1)) == (k & ((1 << b) - 1)) else 0
+        f"eq_{b}",
+        2 * b,
+        lambda k: 1 if ((k >> b) & ((1 << b) - 1)) == (k & ((1 << b) - 1)) else 0,
+        mle_eval=_eq_mle(b),
     )
     # memory layout: [LT_0..LT_{c-1}, EQ_1..EQ_{c-1}]
     mems = tuple(Memory(j, lt_sub) for j in range(c)) + tuple(

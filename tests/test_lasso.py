@@ -86,3 +86,32 @@ def test_lasso_tampered_rejected():
     bad[len(bad) // 3] ^= 1
     with pytest.raises(Exception):
         verify(vp, table, nv_m, new_t(bytes(bad)))
+
+
+def test_subtable_closed_form_mle_matches_fold():
+    """O(log N) closed-form subtable MLEs == the O(N) fold oracle, at random
+    points, for every structured subtable (range/AND/XOR/OR/LT incl. EQ)."""
+    from halo2_lasso_tpu.lasso.tables import or_table
+
+    def fold_eval(subtable, x):
+        vals = [int(v) for v in subtable.values()]
+        for xi in reversed(x):
+            half = len(vals) // 2
+            vals = [
+                (lo + (hi - lo) * xi) % P
+                for lo, hi in zip(vals[:half], vals[half:])
+            ]
+        return vals[0]
+
+    tables = [range_table(8, 4), and_table(4, 2), xor_table(4, 2), or_table(4, 2), lt_table(4, 2)]
+    seen = set()
+    for table in tables:
+        for mem in table.memories:
+            sub = mem.subtable
+            if sub.name in seen:
+                continue
+            seen.add(sub.name)
+            assert sub.mle_eval is not None, f"{sub.name} missing closed form"
+            for trial in range(3):
+                x = [int(RNG.randint(1 << 30)) % P for _ in range(sub.index_bits)]
+                assert sub.mle_eval(x) == fold_eval(sub, x), sub.name
