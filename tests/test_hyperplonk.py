@@ -55,3 +55,22 @@ def test_wrong_instance_rejected():
     tr = new_transcript(proof)
     with pytest.raises(Exception):
         HyperPlonk.verify(vp, instances, tr)
+
+
+def test_lookup_m_poly_device_counting():
+    """Device m-poly counting (sort+segment-sum): duplicate table entries
+    attribute counts to the LAST index (prover.rs:150-180 hashmap overwrite
+    semantics); unknown input values are flagged invalid."""
+    import jax.numpy as jnp
+    from halo2_lasso_tpu.backend.hyperplonk.prover import _m_poly_counts
+    from halo2_lasso_tpu.ops.bn254 import Fr
+
+    tbl = jnp.asarray(Fr.encode([5, 7, 5, 9]))  # value 5 duplicated: last idx 2
+    inp = jnp.asarray(Fr.encode([5, 5, 9, 5]))
+    m, invalid = _m_poly_counts(inp, tbl)
+    assert not bool(invalid)
+    assert list(np.asarray(m)) == [0, 0, 3, 1]
+
+    bad_inp = jnp.asarray(Fr.encode([5, 7, 11, 9]))  # 11 not in table
+    _, invalid = _m_poly_counts(bad_inp, tbl)
+    assert bool(invalid)
