@@ -1,14 +1,18 @@
-"""HyperPlonk backend: setup / preprocess / prove / verify.
+"""HyperPlonk backend: setup / preprocess / prove / verify, generic over the
+polynomial commitment scheme.
 
 Orchestration mirrors /root/reference/plonkish_backend/src/backend/
-hyperplonk.rs:85-369; compute runs on device (witness tables, sumcheck,
-MSMs), Fiat-Shamir and pairings on host.
+hyperplonk.rs:85-369 (`HyperPlonk<Pcs>` is generic over the PCS, :36);
+compute runs on device (witness tables, sumcheck, MSMs), Fiat-Shamir and
+pairings on host. Instantiate for another PCS with `hyperplonk(PcsClass)`
+(the reference's `HyperPlonk<MultilinearIpa<...>>` etc., hyperplonk.rs:
+398-427).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -17,12 +21,7 @@ from halo2_lasso_tpu.backend import PlonkishCircuit, PlonkishCircuitInfo
 from halo2_lasso_tpu.backend.hyperplonk import preprocessor, prover, verifier
 from halo2_lasso_tpu.expression import Expression
 from halo2_lasso_tpu.ops.bn254 import FQ_MODULUS, Fr
-from halo2_lasso_tpu.pcs.multilinear_kzg import (
-    KzgParams,
-    KzgProverParams,
-    KzgVerifierParams,
-    MultilinearKzg,
-)
+from halo2_lasso_tpu.pcs.multilinear_kzg import MultilinearKzg
 from halo2_lasso_tpu.transcript import Keccak256Transcript
 from halo2_lasso_tpu.utils.timer import timed
 
@@ -33,7 +32,7 @@ def new_transcript(proof: Optional[bytes] = None) -> Keccak256Transcript:
 
 @dataclasses.dataclass
 class HyperPlonkProverParam:
-    pcs: KzgProverParams
+    pcs: Any
     num_instances: List[int]
     num_witness_polys: List[int]
     num_challenges: List[int]
@@ -42,14 +41,14 @@ class HyperPlonkProverParam:
     num_vars: int
     expression: Expression
     preprocess_polys: List[jnp.ndarray]
-    preprocess_comms: List[Tuple[int, int]]
+    preprocess_comms: List[Any]
     permutation_polys: List[Tuple[int, jnp.ndarray]]
-    permutation_comms: List[Tuple[int, int]]
+    permutation_comms: List[Any]
 
 
 @dataclasses.dataclass
 class HyperPlonkVerifierParam:
-    pcs: KzgVerifierParams
+    pcs: Any
     num_instances: List[int]
     num_witness_polys: List[int]
     num_challenges: List[int]
@@ -57,38 +56,38 @@ class HyperPlonkVerifierParam:
     num_permutation_z_polys: int
     num_vars: int
     expression: Expression
-    preprocess_comms: List[Tuple[int, int]]
-    permutation_comms: List[Tuple[int, Tuple[int, int]]]
+    preprocess_comms: List[Any]
+    permutation_comms: List[Tuple[int, Any]]
 
 
 class HyperPlonk:
     Pcs = MultilinearKzg
 
-    @staticmethod
-    def setup(circuit_info: PlonkishCircuitInfo, rng: np.random.RandomState) -> KzgParams:
+    @classmethod
+    def setup(cls, circuit_info: PlonkishCircuitInfo, rng: np.random.RandomState):
         assert circuit_info.is_well_formed()
-        return MultilinearKzg.setup(1 << circuit_info.k, rng)
+        return cls.Pcs.setup(1 << circuit_info.k, rng=rng)
 
-    @staticmethod
+    @classmethod
     @timed("preprocess")
     def preprocess(
-        param: KzgParams, circuit_info: PlonkishCircuitInfo
+        cls, param, circuit_info: PlonkishCircuitInfo
     ) -> Tuple[HyperPlonkProverParam, HyperPlonkVerifierParam]:
         assert circuit_info.is_well_formed()
         num_vars = circuit_info.k
-        pcs_pp, pcs_vp = MultilinearKzg.trim(param, 1 << num_vars)
+        pcs_pp, pcs_vp = cls.Pcs.trim(param, 1 << num_vars)
 
         preprocess_polys = [
             jnp.asarray(Fr.encode(vals)) for vals in circuit_info.preprocess_polys
         ]
-        preprocess_comms = MultilinearKzg.batch_commit(pcs_pp, preprocess_polys)
+        preprocess_comms = cls.Pcs.batch_commit(pcs_pp, preprocess_polys)
 
         perm_poly_indices = circuit_info.permutation_polys()
         perm_values = preprocessor.permutation_polys_values(
             num_vars, perm_poly_indices, circuit_info.permutations
         )
         permutation_polys = [jnp.asarray(Fr.encode(v)) for v in perm_values]
-        permutation_comms = MultilinearKzg.batch_commit(pcs_pp, permutation_polys)
+        permutation_comms = cls.Pcs.batch_commit(pcs_pp, permutation_polys)
 
         num_permutation_z_polys, expression = preprocessor.compose(circuit_info)
 
@@ -106,6 +105,7 @@ class HyperPlonk:
             permutation_polys=list(zip(perm_poly_indices, permutation_polys)),
             permutation_comms=permutation_comms,
         )
+        vc = cls.Pcs.verifier_commitment
         vp = HyperPlonkVerifierParam(
             pcs=pcs_vp,
             num_instances=list(circuit_info.num_instances),
@@ -115,14 +115,17 @@ class HyperPlonk:
             num_permutation_z_polys=num_permutation_z_polys,
             num_vars=num_vars,
             expression=expression,
-            preprocess_comms=preprocess_comms,
-            permutation_comms=list(zip(perm_poly_indices, permutation_comms)),
+            preprocess_comms=[vc(c) for c in preprocess_comms],
+            permutation_comms=list(
+                zip(perm_poly_indices, [vc(c) for c in permutation_comms])
+            ),
         )
         return pp, vp
 
-    @staticmethod
+    @classmethod
     @timed("prove")
     def prove(
+        cls,
         pp: HyperPlonkProverParam,
         circuit: PlonkishCircuit,
         transcript: Keccak256Transcript,
@@ -143,7 +146,7 @@ class HyperPlonk:
 
         # Round 0..n: witness phases
         witness_polys: List[jnp.ndarray] = []
-        witness_comms: List[Tuple[int, int]] = []
+        witness_comms: List[Any] = []
         challenges: List[int] = []
         for round_, (num_w, num_c) in enumerate(
             zip(pp.num_witness_polys, pp.num_challenges)
@@ -152,8 +155,8 @@ class HyperPlonk:
                 cols = circuit.synthesize(round_, challenges)
                 assert len(cols) == num_w
                 polys_r = [jnp.asarray(spec.encode(c)) for c in cols]
-            comms = MultilinearKzg.batch_commit(pp.pcs, polys_r)
-            transcript.write_commitments(comms)
+            comms = cls.Pcs.batch_commit(pp.pcs, polys_r)
+            cls.Pcs.write_commitments(comms, transcript)
             witness_comms.extend(comms)
             witness_polys.extend(polys_r)
             challenges.extend(transcript.squeeze_challenges(num_c))
@@ -170,8 +173,8 @@ class HyperPlonk:
             )
         with timed.scope("lookup_m_polys"):
             m_polys = prover.lookup_m_polys(compressed)
-        m_comms = MultilinearKzg.batch_commit(pp.pcs, m_polys)
-        transcript.write_commitments(m_comms)
+        m_comms = cls.Pcs.batch_commit(pp.pcs, m_polys)
+        cls.Pcs.write_commitments(m_comms, transcript)
 
         # Round n+1: gamma, h polys + permutation z polys
         gamma = transcript.squeeze_challenge()
@@ -186,8 +189,8 @@ class HyperPlonk:
                 gamma,
             )
         hz_polys = h_polys + z_polys
-        hz_comms = MultilinearKzg.batch_commit(pp.pcs, hz_polys)
-        transcript.write_commitments(hz_comms)
+        hz_comms = cls.Pcs.batch_commit(pp.pcs, hz_polys)
+        cls.Pcs.write_commitments(hz_comms, transcript)
 
         # Round n+2: zero check
         alpha = transcript.squeeze_challenge()
@@ -199,6 +202,14 @@ class HyperPlonk:
             + m_polys
             + hz_polys
         )
+        all_comms = (
+            [None] * len(pp.num_instances)  # instance polys are never opened
+            + list(pp.preprocess_comms)
+            + witness_comms
+            + list(pp.permutation_comms)
+            + m_comms
+            + hz_comms
+        )
         challenges = challenges + [beta, gamma, alpha]
         with timed.scope("zero_check"):
             points, evals = prover.prove_zero_check(
@@ -207,11 +218,12 @@ class HyperPlonk:
 
         # PCS batch open
         with timed.scope("pcs_batch_open"):
-            MultilinearKzg.batch_open(pp.pcs, all_polys, points, evals, transcript)
+            cls.Pcs.batch_open(pp.pcs, all_polys, all_comms, points, evals, transcript)
 
-    @staticmethod
+    @classmethod
     @timed("verify")
     def verify(
+        cls,
         vp: HyperPlonkVerifierParam,
         instances: Sequence[Sequence[int]],
         transcript: Keccak256Transcript,
@@ -222,17 +234,17 @@ class HyperPlonk:
             for v in inst:
                 transcript.common_field_element(v)
 
-        witness_comms: List[Tuple[int, int]] = []
+        witness_comms: List[Any] = []
         challenges: List[int] = []
         for num_w, num_c in zip(vp.num_witness_polys, vp.num_challenges):
-            witness_comms.extend(transcript.read_commitments(num_w))
+            witness_comms.extend(cls.Pcs.read_commitments(vp.pcs, num_w, transcript))
             challenges.extend(transcript.squeeze_challenges(num_c))
 
         beta = transcript.squeeze_challenge()
-        m_comms = transcript.read_commitments(vp.num_lookups)
+        m_comms = cls.Pcs.read_commitments(vp.pcs, vp.num_lookups, transcript)
         gamma = transcript.squeeze_challenge()
-        hz_comms = transcript.read_commitments(
-            vp.num_lookups + vp.num_permutation_z_polys
+        hz_comms = cls.Pcs.read_commitments(
+            vp.pcs, vp.num_lookups + vp.num_permutation_z_polys, transcript
         )
         alpha = transcript.squeeze_challenge()
         y = transcript.squeeze_challenges(num_vars)
@@ -242,13 +254,19 @@ class HyperPlonk:
             num_vars, vp.expression, instances, challenges, y, transcript
         )
 
-        dummy = (0, 0)
         comms = (
-            [dummy] * len(vp.num_instances)
+            [None] * len(vp.num_instances)  # never opened (pcs_query excludes)
             + list(vp.preprocess_comms)
             + witness_comms
             + [c for _, c in vp.permutation_comms]
             + m_comms
             + hz_comms
         )
-        MultilinearKzg.batch_verify(vp.pcs, comms, points, evals, transcript)
+        cls.Pcs.batch_verify(vp.pcs, comms, points, evals, transcript)
+
+
+def hyperplonk(pcs_cls) -> type:
+    """HyperPlonk instantiated over `pcs_cls` (reference: HyperPlonk<Pcs>)."""
+    if pcs_cls is MultilinearKzg:
+        return HyperPlonk
+    return type(f"HyperPlonk_{pcs_cls.__name__}", (HyperPlonk,), {"Pcs": pcs_cls})

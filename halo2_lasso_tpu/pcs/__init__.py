@@ -33,6 +33,26 @@ class Evaluation:
     value: int
 
 
+class PointCommitmentIO:
+    """Default transcript IO for PCS whose commitments are single affine
+    points (KZG/Gemini/Zeromorph/IPA). Mirrors the reference's
+    Pcs::read_commitments over CurveAffine chunks (pcs.rs:93-101)."""
+
+    @staticmethod
+    def write_commitments(comms, transcript) -> None:
+        transcript.write_commitments(comms)
+
+    @staticmethod
+    def read_commitments(vp, n: int, transcript):
+        return transcript.read_commitments(n)
+
+    @staticmethod
+    def verifier_commitment(comm):
+        """Map a prover-side commitment to its verifier-side form (identity
+        for point commitments; Brakedown keeps only the Merkle root)."""
+        return comm
+
+
 def g1_sum_with_scalar(
     scalars: Sequence[int], bases: Sequence[Tuple[int, int]]
 ) -> Tuple[int, int]:

@@ -302,6 +302,23 @@ class MultilinearBrakedown:
     def write_commitment(comm: BrakedownCommitment, transcript):
         transcript.write_hash(comm.root)
 
+    # generic PCS transcript IO (backend-facing). NOTE: mirroring the
+    # reference, hash commitments are streamed WITHOUT state absorption
+    # (util/transcript.rs:240-263 — the Output<Keccak256> write/read impls
+    # do not call common_commitment).
+    @staticmethod
+    def write_commitments(comms: Sequence[BrakedownCommitment], transcript):
+        for c in comms:
+            transcript.write_hash(c.root)
+
+    @staticmethod
+    def read_commitments(vp, n: int, transcript) -> List[bytes]:
+        return [transcript.read_hash() for _ in range(n)]
+
+    @staticmethod
+    def verifier_commitment(comm: BrakedownCommitment) -> bytes:
+        return comm.root
+
     @staticmethod
     def open(pp: BrakedownParams, evals: jnp.ndarray, comm: BrakedownCommitment,
              point: Sequence[int], eval_, transcript) -> None:

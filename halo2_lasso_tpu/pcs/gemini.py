@@ -18,7 +18,7 @@ import numpy as np
 
 from halo2_lasso_tpu.ops import field as F
 from halo2_lasso_tpu.ops.bn254 import Fr
-from halo2_lasso_tpu.pcs import Evaluation, additive_batch_open, additive_batch_verify
+from halo2_lasso_tpu.pcs import Evaluation, PointCommitmentIO, additive_batch_open, additive_batch_verify
 from halo2_lasso_tpu.pcs.multilinear_kzg import PcsError
 from halo2_lasso_tpu.pcs.univariate_kzg import UnivariateKzg
 from halo2_lasso_tpu.poly import multilinear as mle
@@ -27,7 +27,7 @@ from halo2_lasso_tpu.poly import univariate as uni
 P = Fr.modulus
 
 
-class Gemini:
+class Gemini(PointCommitmentIO):
     setup = staticmethod(UnivariateKzg.setup)
     trim = staticmethod(UnivariateKzg.trim)
 
@@ -102,7 +102,7 @@ class Gemini:
     # ---- additive batch (BDFG over sumcheck) ----
 
     @staticmethod
-    def batch_open(pp, polys, points, evals, transcript):
+    def batch_open(pp, polys, comms, points, evals, transcript):
         num_vars = len(points[0]) if points else 0
         additive_batch_open(Gemini, pp, num_vars, polys, points, evals, transcript)
 

@@ -93,6 +93,19 @@ class MultilinearHyrax:
         return [MultilinearHyrax.commit(pp, p) for p in polys]
 
     @staticmethod
+    def write_commitments(comms: Sequence[List[Tuple[int, int]]], transcript) -> None:
+        for comm in comms:
+            transcript.write_commitments(comm)
+
+    @staticmethod
+    def read_commitments(vp: HyraxParams, n: int, transcript) -> List[List[Tuple[int, int]]]:
+        return [transcript.read_commitments(vp.num_chunks) for _ in range(n)]
+
+    @staticmethod
+    def verifier_commitment(comm):
+        return comm
+
+    @staticmethod
     def sum_commitments(scalars: Sequence[int], comms: Sequence[List[Tuple[int, int]]]):
         """Chunk-wise additive combination (vector commitment)."""
         num_chunks = len(comms[0])
@@ -126,7 +139,7 @@ class MultilinearHyrax:
         MultilinearIpa.verify(vp.ipa, folded_comm, lo, eval_, transcript)
 
     @staticmethod
-    def batch_open(pp, polys, points, evals, transcript):
+    def batch_open(pp, polys, comms, points, evals, transcript):
         additive_batch_open(MultilinearHyrax, pp, pp.num_vars, polys, points, evals, transcript)
 
     @staticmethod

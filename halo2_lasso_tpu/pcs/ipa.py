@@ -24,7 +24,7 @@ from halo2_lasso_tpu.ops import ec
 from halo2_lasso_tpu.ops import field as F
 from halo2_lasso_tpu.ops.keccak import keccak256
 from halo2_lasso_tpu.ops.bn254 import Fr
-from halo2_lasso_tpu.pcs import Evaluation, additive_batch_open, additive_batch_verify
+from halo2_lasso_tpu.pcs import Evaluation, PointCommitmentIO, additive_batch_open, additive_batch_verify
 from halo2_lasso_tpu.pcs.multilinear_kzg import PcsError
 from halo2_lasso_tpu.poly import multilinear as mle
 
@@ -38,7 +38,7 @@ class IpaParams:
     h: dict  # single point (scalar batch shape ())
 
 
-class MultilinearIpa:
+class MultilinearIpa(PointCommitmentIO):
     @staticmethod
     def setup(poly_size: int, rng=None) -> IpaParams:
         num_vars = poly_size.bit_length() - 1
@@ -182,7 +182,7 @@ class MultilinearIpa:
             raise PcsError("invalid multilinear IPA open")
 
     @staticmethod
-    def batch_open(pp, polys, points, evals, transcript):
+    def batch_open(pp, polys, comms, points, evals, transcript):
         additive_batch_open(MultilinearIpa, pp, pp.num_vars, polys, points, evals, transcript)
 
     @staticmethod

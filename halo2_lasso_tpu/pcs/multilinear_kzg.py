@@ -32,6 +32,7 @@ from halo2_lasso_tpu.ops import pairing as hostec
 from halo2_lasso_tpu.ops.bn254 import Fr, G2_GEN_X, G2_GEN_Y
 from halo2_lasso_tpu.pcs import (
     Evaluation,
+    PointCommitmentIO,
     additive_batch_open,
     additive_batch_verify,
 )
@@ -74,7 +75,7 @@ class KzgVerifierParams:
         return len(self.ss)
 
 
-class MultilinearKzg:
+class MultilinearKzg(PointCommitmentIO):
     """Namespace-style PCS implementation (stateless classmethods)."""
 
     @staticmethod
@@ -128,6 +129,15 @@ class MultilinearKzg:
 
     @staticmethod
     def batch_commit(pp: KzgProverParams, polys: Sequence[jnp.ndarray]) -> List[Tuple[int, int]]:
+        if not polys:
+            return []
+        sizes = {p.shape[0] for p in polys}
+        if len(sizes) == 1:
+            k = next(iter(sizes)).bit_length() - 1
+            if k > pp.num_vars:
+                raise PcsError("poly has too many variates for params")
+            out = ec.batch_msm(pp.eqs[k], jnp.stack(list(polys)))
+            return [(int(x), int(y)) for x, y in out]
         return [MultilinearKzg.commit(pp, poly) for poly in polys]
 
     @staticmethod
@@ -195,7 +205,7 @@ class MultilinearKzg:
     # ---- batch ----
 
     @staticmethod
-    def batch_open(pp, polys, points, evals: Sequence[Evaluation], transcript):
+    def batch_open(pp, polys, comms, points, evals: Sequence[Evaluation], transcript):
         # size by the opened points (polys may be smaller than the params)
         num_vars = len(points[0]) if points else pp.num_vars
         additive_batch_open(MultilinearKzg, pp, num_vars, polys, points, evals, transcript)

@@ -20,6 +20,7 @@ from halo2_lasso_tpu.ops import pairing as hostec
 from halo2_lasso_tpu.ops.bn254 import Fr
 from halo2_lasso_tpu.pcs import (
     Evaluation,
+    PointCommitmentIO,
     additive_batch_open,
     additive_batch_verify,
     g1_sum_with_scalar,
@@ -50,7 +51,7 @@ class ZeromorphVerifierParams:
         self.s_offset_g2 = s_offset_g2
 
 
-class Zeromorph:
+class Zeromorph(PointCommitmentIO):
     setup = staticmethod(UnivariateKzg.setup)
 
     @staticmethod
@@ -144,7 +145,7 @@ class Zeromorph:
             raise PcsError("invalid Zeromorph KZG open")
 
     @staticmethod
-    def batch_open(pp, polys, points, evals, transcript):
+    def batch_open(pp, polys, comms, points, evals, transcript):
         num_vars = len(points[0]) if points else 0
         additive_batch_open(Zeromorph, pp, num_vars, polys, points, evals, transcript)
 

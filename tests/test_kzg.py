@@ -83,7 +83,7 @@ def test_batch_commit_open_verify():
         v = int(Fr.decode(np.asarray(mle.evaluate(Fr, polys[poly_i], xd))[None])[0])
         evals.append(Evaluation(poly_i, point_i, v))
     tw.write_field_elements([e.value for e in evals])
-    MultilinearKzg.batch_open(pp, polys, points, evals, tw)
+    MultilinearKzg.batch_open(pp, polys, comms, points, evals, tw)
     proof = tw.into_proof()
 
     tr = new_t(proof)

@@ -80,7 +80,7 @@ def run_batch(pcs_cls, setup_fn, num_vars, batch_size=3, num_points=2):
     pairs = [(0, 0), (1, 0), (2, 1), (0, 1)]
     evals = [Evaluation(pi, ti, eval_mle(vals[pi], points[ti])) for pi, ti in pairs]
     tw.write_field_elements([e.value for e in evals])
-    pcs_cls.batch_open(pp, polys, points, evals, tw)
+    pcs_cls.batch_open(pp, polys, comms, points, evals, tw)
     proof = tw.into_proof()
 
     tr = new_t(proof)
