@@ -92,53 +92,92 @@ def _to_affine_jit(flat: dict):
     return ax, ay
 
 
+def _mul_stack(s, pairs):
+    """Independent field products evaluated as ONE stacked mont_mul call.
+
+    The EC formulas below are written in dependency LEVELS: every level's
+    products are mutually independent, so they stack along a new leading
+    axis and run as a single (k, ..., L) multiplication. This cuts the
+    number of mont_mul call sites per EC op ~3x — which is what governs
+    jax trace/lower time and XLA:CPU per-op dispatch overhead, and gives
+    XLA a single fat kernel to tile instead of many thin ones.
+    """
+    a = jnp.stack([jnp.broadcast_arrays(x, y)[0] for x, y in pairs])
+    b = jnp.stack([jnp.broadcast_arrays(x, y)[1] for x, y in pairs])
+    out = F.mont_mul(s, a, b)
+    return [out[i] for i in range(len(pairs))]
+
+
 def ec_double(p: dict) -> dict:
-    """Jacobian doubling, a=0 (dbl-2009-l). Handles identity naturally (z=0)."""
+    """Jacobian doubling, a=0 (dbl-2009-l), with independent products stacked
+    per dependency level (4 mont_mul calls). Identity is handled naturally
+    (z=0)."""
     s = Fq
     X1, Y1, Z1 = p["x"], p["y"], p["z"]
-    A = F.mont_mul(s, X1, X1)
-    B = F.mont_mul(s, Y1, Y1)
-    C = F.mont_mul(s, B, B)
-    t = F.add(s, X1, B)
-    t = F.mont_mul(s, t, t)
+    A, B, Z3h = _mul_stack(s, [(X1, X1), (Y1, Y1), (F.add(s, Y1, Y1), Z1)])
+    E = F.add(s, F.add(s, A, A), A)  # 3A
+    C, t, Fv = _mul_stack(s, [(B, B), (F.add(s, X1, B), F.add(s, X1, B)), (E, E)])
     t = F.sub(s, t, A)
     t = F.sub(s, t, C)
     D = F.add(s, t, t)  # 2((X1+B)^2 - A - C)
-    E = F.add(s, F.add(s, A, A), A)  # 3A
-    Fv = F.mont_mul(s, E, E)
     X3 = F.sub(s, Fv, F.add(s, D, D))
     C8 = F.add(s, F.add(s, C, C), F.add(s, C, C))
     C8 = F.add(s, C8, C8)
-    Y3 = F.sub(s, F.mont_mul(s, E, F.sub(s, D, X3)), C8)
-    Z3 = F.mont_mul(s, F.add(s, Y1, Y1), Z1)
-    return {"x": X3, "y": Y3, "z": Z3}
+    (Y3h,) = _mul_stack(s, [(E, F.sub(s, D, X3))])
+    Y3 = F.sub(s, Y3h, C8)
+    return {"x": X3, "y": Y3, "z": Z3h}
 
 
 def ec_add(p: dict, q: dict) -> dict:
     """Branchless general Jacobian addition (add-2007-bl) with full special-
-    case handling: p=O, q=O, p==q (double), p==-q (identity)."""
+    case handling (p=O, q=O, p==q double, p==-q identity), products stacked
+    per dependency level (6 mont_mul calls incl. the fused double)."""
     s = Fq
-    X1, Y1, Z1 = p["x"], p["y"], p["z"]
-    X2, Y2, Z2 = q["x"], q["y"], q["z"]
-    Z1Z1 = F.mont_mul(s, Z1, Z1)
-    Z2Z2 = F.mont_mul(s, Z2, Z2)
-    U1 = F.mont_mul(s, X1, Z2Z2)
-    U2 = F.mont_mul(s, X2, Z1Z1)
-    S1 = F.mont_mul(s, F.mont_mul(s, Y1, Z2), Z2Z2)
-    S2 = F.mont_mul(s, F.mont_mul(s, Y2, Z1), Z1Z1)
+    X1, X2 = jnp.broadcast_arrays(p["x"], q["x"])
+    Y1, Y2 = jnp.broadcast_arrays(p["y"], q["y"])
+    Z1, Z2 = jnp.broadcast_arrays(p["z"], q["z"])
+    p = {"x": X1, "y": Y1, "z": Z1}
+    q = {"x": X2, "y": Y2, "z": Z2}
+    Z1Z1, Z2Z2, A2, B2, ZZ12 = _mul_stack(
+        s, [(Z1, Z1), (Z2, Z2), (X1, X1), (Y1, Y1), (Z1, Z2)]
+    )
+    # doubled(p) interleaved: A2 = X1^2, B2 = Y1^2 computed above
+    E2 = F.add(s, F.add(s, A2, A2), A2)
+    U1, U2, T1, T2, C2, Td2, Fv2, Zd3 = _mul_stack(
+        s,
+        [
+            (X1, Z2Z2),
+            (X2, Z1Z1),
+            (Y1, Z2),
+            (Y2, Z1),
+            (B2, B2),
+            (F.add(s, X1, B2), F.add(s, X1, B2)),
+            (E2, E2),
+            (F.add(s, Y1, Y1), Z1),
+        ],
+    )
+    S1, S2 = _mul_stack(s, [(T1, Z2Z2), (T2, Z1Z1)])
     H = F.sub(s, U2, U1)
     Rr = F.sub(s, S2, S1)
 
-    HH = F.mont_mul(s, H, H)
-    HHH = F.mont_mul(s, HH, H)
-    V = F.mont_mul(s, U1, HH)
-    RR = F.mont_mul(s, Rr, Rr)
+    # double tail (shares no muls with the add tail below)
+    td = F.sub(s, F.sub(s, Td2, A2), C2)
+    Dd = F.add(s, td, td)
+    Xd3 = F.sub(s, Fv2, F.add(s, Dd, Dd))
+    C8 = F.add(s, F.add(s, C2, C2), F.add(s, C2, C2))
+    C8 = F.add(s, C8, C8)
+
+    HH, RR = _mul_stack(s, [(H, H), (Rr, Rr)])
+    HHH, V, Z3, Yd3h = _mul_stack(
+        s, [(HH, H), (U1, HH), (ZZ12, H), (E2, F.sub(s, Dd, Xd3))]
+    )
+    Yd3 = F.sub(s, Yd3h, C8)
     X3 = F.sub(s, F.sub(s, RR, HHH), F.add(s, V, V))
-    Y3 = F.sub(s, F.mont_mul(s, Rr, F.sub(s, V, X3)), F.mont_mul(s, S1, HHH))
-    Z3 = F.mont_mul(s, F.mont_mul(s, Z1, Z2), H)
+    Y3h, S1HHH = _mul_stack(s, [(Rr, F.sub(s, V, X3)), (S1, HHH)])
+    Y3 = F.sub(s, Y3h, S1HHH)
     added = {"x": X3, "y": Y3, "z": Z3}
 
-    doubled = ec_double(p)
+    doubled = {"x": Xd3, "y": Yd3, "z": Zd3}
 
     p_is_id = F.is_zero(s, Z1)
     q_is_id = F.is_zero(s, Z2)
@@ -211,12 +250,84 @@ def tree_reduce_add(pts: dict) -> dict:
 # MSM
 # ---------------------------------------------------------------------------
 
+# Below this many points the batched double-and-add path wins: its XLA graph
+# is one fori_loop body (double + select-add) vs the Pippenger module's
+# per-window sort + three associative scans, whose trace/lower cost alone
+# (~5s/shape on this jaxlib) dwarfs any tiny MSM's runtime. Provers emit
+# MANY tiny MSMs (per-quotient commits, test-sized circuits), so this path
+# is what keeps small proofs fast end to end.
+SMALL_MSM_MAX = 1 << 9
+
+
 def _window_bits(n: int) -> int:
     if n >= (1 << 13):
         return 16
-    if n >= (1 << 6):
-        return 8
-    return 4
+    return 8
+
+
+def _tree_reduce_axis1(pts: dict) -> dict:
+    """Reduce a (B, n) point batch over axis 1 (n a power of two)."""
+    n = pts["x"].shape[1]
+    while n > 1:
+        lo = {k: v[:, 0::2] for k, v in pts.items()}
+        hi = {k: v[:, 1::2] for k, v in pts.items()}
+        pts = ec_add(lo, hi)
+        n = pts["x"].shape[1]
+    return {k: v[:, 0] for k, v in pts.items()}
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _scalar_mul_lanes(points: dict, scalars_canonical: jnp.ndarray, nbits: int) -> dict:
+    """(M,) points x (M, L) canonical scalars -> (M,) per-lane s_i * P_i.
+
+    One flat lane axis on purpose: every small MSM (any B x n batch) is
+    flattened and padded to a canonical M before this call, so the
+    double-and-add module is traced/compiled once per M per process —
+    shape churn, not runtime, is what made small MSMs slow.
+    """
+    bits = scalars_to_bits(scalars_canonical, nbits)
+    return scalar_mul_bits(points, bits)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _row_sum(pts_flat: dict, B: int, n: int) -> dict:
+    """(B*n,) flat point batch -> (B,) row sums.
+
+    Sequential fori accumulation (one ec_add body traced per B) beats a
+    log-depth tree here: the tree re-traces log(n) distinctly-shaped
+    levels per (B, n) combination, and n is small on this path."""
+    pts = {k: v.reshape((B, n) + v.shape[1:]) for k, v in pts_flat.items()}
+
+    def body(i, acc):
+        return ec_add(acc, {k: v[:, i] for k, v in pts.items()})
+
+    return jax.lax.fori_loop(0, n, body, identity_point((B,)))
+
+
+def _msm_small(points: dict, scalars_canonical: jnp.ndarray) -> dict:
+    """points: (n,) dict; scalars: (B, n, L) canonical limbs -> (B,) points."""
+    B, n, L = scalars_canonical.shape
+    Bp = 1 << (B - 1).bit_length() if B > 1 else 1  # canonical row counts
+    if Bp != B:
+        scalars_canonical = jnp.concatenate(
+            [scalars_canonical, jnp.zeros((Bp - B, n, L), jnp.uint32)]
+        )
+    M = max(64, Bp * n)
+    pts_flat = {
+        k: jnp.broadcast_to(v, (Bp,) + v.shape).reshape((Bp * n,) + v.shape[1:])
+        for k, v in points.items()
+    }
+    scal_flat = scalars_canonical.reshape(Bp * n, L)
+    if M != Bp * n:
+        pad = M - Bp * n
+        idp = identity_point((pad,))
+        pts_flat = {k: jnp.concatenate([v, idp[k]]) for k, v in pts_flat.items()}
+        scal_flat = jnp.concatenate([scal_flat, jnp.zeros((pad, L), jnp.uint32)])
+    per_lane = _scalar_mul_lanes(pts_flat, scal_flat, Fr.num_bits)
+    if M != Bp * n:
+        per_lane = {k: v[: Bp * n] for k, v in per_lane.items()}
+    out = _row_sum(per_lane, Bp, n)
+    return {k: v[:B] for k, v in out.items()}
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -281,6 +392,19 @@ def _msm_impl(points: dict, scalars_canonical: jnp.ndarray, c: int) -> dict:
     return jax.lax.fori_loop(0, num_windows, body, identity_point(()))
 
 
+def _pad_msm_inputs(points: dict, scalars_mont: jnp.ndarray, min_n: int = 16):
+    n = scalars_mont.shape[0]
+    target = max(min_n, 1 << (n - 1).bit_length()) if n > 1 else min_n
+    if target != n:
+        pad = target - n
+        idp = identity_point((pad,))
+        points = {k: jnp.concatenate([v, idp[k]]) for k, v in points.items()}
+        scalars_mont = jnp.concatenate(
+            [scalars_mont, jnp.zeros((pad, scalars_mont.shape[1]), jnp.uint32)]
+        )
+    return points, scalars_mont
+
+
 def variable_base_msm(points: dict, scalars_mont: jnp.ndarray) -> dict:
     """MSM over (n,) points with (n, L) Montgomery scalars. Returns a single
     Jacobian point (device). Semantics of msm.rs:84 variable_base_msm.
@@ -289,17 +413,53 @@ def variable_base_msm(points: dict, scalars_mont: jnp.ndarray) -> dict:
     two (>= 16) so the expensive scan-kernel compiles are shared across the
     many MSM sizes a prover emits (quotients of every size, commits, ...).
     """
+    points, scalars_mont = _pad_msm_inputs(points, scalars_mont)
     n = scalars_mont.shape[0]
+    if n > SMALL_MSM_MAX and _pallas_msm_enabled():
+        from halo2_lasso_tpu.ops import pallas_ec
+
+        return pallas_ec.msm_pallas(points, scalars_mont)
+    scal = F.from_mont(Fr, scalars_mont)
+    if n <= SMALL_MSM_MAX:
+        out = _msm_small(points, scal[None])
+        return {k: v[0] for k, v in out.items()}
+    return _msm_impl(points, scal, _window_bits(n))
+
+
+def _pallas_msm_enabled() -> bool:
+    import os
+
+    if os.environ.get("HALO2_LASSO_TPU_PALLAS", "1") == "0":
+        return False
+    return jax.devices()[0].platform != "cpu"
+
+
+def batch_msm(points: dict, scalars_mont: jnp.ndarray) -> np.ndarray:
+    """B MSMs sharing one point set: scalars (B, n, L) Montgomery ->
+    host (B, 2) affine object ints. Small sizes run as ONE vectorized
+    double-and-add over all B*n lanes (the batch_commit hot path)."""
+    B, n = scalars_mont.shape[:2]
+    if B == 0:
+        return np.empty((0, 2), dtype=object)
     target = max(16, 1 << (n - 1).bit_length()) if n > 1 else 16
     if target != n:
         pad = target - n
         idp = identity_point((pad,))
         points = {k: jnp.concatenate([v, idp[k]]) for k, v in points.items()}
         scalars_mont = jnp.concatenate(
-            [scalars_mont, jnp.zeros((pad, scalars_mont.shape[1]), jnp.uint32)]
+            [
+                scalars_mont,
+                jnp.zeros((B, pad, scalars_mont.shape[2]), jnp.uint32),
+            ],
+            axis=1,
         )
-    scal = F.from_mont(Fr, scalars_mont)
-    return _msm_impl(points, scal, _window_bits(scal.shape[0]))
+    if target <= SMALL_MSM_MAX:
+        scal = F.from_mont(Fr, scalars_mont)
+        res = _msm_small(points, scal)
+        return jacobian_to_affine(res)
+    outs = [variable_base_msm(points, scalars_mont[i]) for i in range(B)]
+    stacked = {k: jnp.stack([o[k] for o in outs]) for k in ("x", "y", "z")}
+    return jacobian_to_affine(stacked)
 
 
 def msm_to_affine_int(points: dict, scalars_mont: jnp.ndarray) -> Tuple[int, int]:
