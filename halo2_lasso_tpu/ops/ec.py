@@ -415,6 +415,16 @@ def variable_base_msm(points: dict, scalars_mont: jnp.ndarray) -> dict:
     """
     points, scalars_mont = _pad_msm_inputs(points, scalars_mont)
     n = scalars_mont.shape[0]
+    mesh = _active_mesh()
+    if mesh is not None and n >= 2 * mesh.size and n > SMALL_MSM_MAX:
+        # shard the point set over the mesh: per-shard Pippenger totals,
+        # all_gather (3 coords each), local tree add (parallel/sharding.py)
+        from halo2_lasso_tpu.parallel import sharding as shd
+
+        pts_sh = {k: shd.shard_evals(mesh, v) for k, v in points.items()}
+        scal_sh = shd.shard_evals(mesh, scalars_mont)
+        fn = shd.sharded_msm_cached(mesh, _window_bits(n // mesh.size))
+        return fn(pts_sh, scal_sh)
     if n > SMALL_MSM_MAX and _pallas_msm_enabled():
         from halo2_lasso_tpu.ops import pallas_ec
 
@@ -424,6 +434,12 @@ def variable_base_msm(points: dict, scalars_mont: jnp.ndarray) -> dict:
         out = _msm_small(points, scal[None])
         return {k: v[0] for k, v in out.items()}
     return _msm_impl(points, scal, _window_bits(n))
+
+
+def _active_mesh():
+    from halo2_lasso_tpu.parallel import sharding as shd
+
+    return shd.active_mesh()
 
 
 def _pallas_msm_enabled() -> bool:

@@ -42,6 +42,46 @@ def make_mesh(n_devices: int = None, devices=None) -> Mesh:
     return Mesh(np.array(devices), axis_names=("data",))
 
 
+# ---------------------------------------------------------------------------
+# active-mesh context: how a mesh is threaded through the prover stack
+# ---------------------------------------------------------------------------
+# `with use_mesh(mesh): HyperPlonk.prove(...)` makes every mesh-aware layer
+# (sum_check.prove round/fold, prove_coeff_products, ec.variable_base_msm)
+# shard its hypercube/point axis over the mesh and combine with collectives.
+# Proof bytes are IDENTICAL to the single-device run: every transcript write
+# is an exact canonical field element / affine point, and mod-p sums are
+# order-independent.
+
+_ACTIVE_MESH: List[Mesh] = []
+
+
+class use_mesh:
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+
+    def __enter__(self):
+        _ACTIVE_MESH.append(self.mesh)
+        return self.mesh
+
+    def __exit__(self, *exc):
+        _ACTIVE_MESH.pop()
+        return False
+
+
+def active_mesh() -> Mesh:
+    """The innermost mesh installed by use_mesh, or None (single device)."""
+    if _ACTIVE_MESH:
+        m = _ACTIVE_MESH[-1]
+        if m.size > 1:
+            return m
+    return None
+
+
+def replicate(mesh: Mesh, v: jnp.ndarray) -> jnp.ndarray:
+    """Gather a sharded array to full replication on every mesh device."""
+    return jax.device_put(v, NamedSharding(mesh, PS(*([None] * v.ndim))))
+
+
 def shard_evals(mesh: Mesh, evals: jnp.ndarray) -> jnp.ndarray:
     """Place an MLE eval table with axis-0 (high index bits) sharding."""
     return jax.device_put(evals, NamedSharding(mesh, PS("data", None)))
@@ -92,48 +132,145 @@ def sharded_fix_var(spec: FieldSpec, mesh: Mesh):
     return jax.jit(inner)
 
 
-def sharded_round_message(spec: FieldSpec, expression, keys, degree: int, mesh: Mesh):
-    """Sharded EvaluationsProver round kernel: dict of sharded leaf tables ->
-    (degree, L) replicated evals at t=1..degree (the per-round transcript
-    message before the evals[0] = sum - evals[1] completion)."""
+def _leaf_builder(values):
+    def leaf(kind, arg):
+        if kind == "identity":
+            return values[("identity",)]
+        if kind == "lagrange":
+            return values[("lagrange", arg)]
+        if kind == "eq_xy":
+            return values[("eq", arg)]
+        if kind == "poly":
+            return values[("poly", arg.poly, arg.rotation)]
+        raise ValueError(kind)
+
+    return leaf
+
+
+def make_sharded_chunk_fn(
+    spec: FieldSpec, mesh: Mesh, terms, degree: int, num_challenges: int
+):
+    """Sharded EvaluationsProver round kernel over a CHUNK of constraint
+    terms (mirrors piop/sum_check._make_chunk_fn; the alpha/coefficient
+    combination stays on host). Returns a jitted
+
+        f(arrays: dict of (n, L) sharded leaf tables, chal: (C, L) replicated)
+          -> (degree, num_terms, L) replicated per-term column sums
+
+    with one lazy-limb psum per call. Challenge inputs are first-class —
+    the composed hyperplonk expression (beta/gamma/alpha) and GKR layers
+    (gamma) run sharded."""
     from halo2_lasso_tpu.expression import evaluate_jnp
+    from halo2_lasso_tpu.piop.sum_check import _term_leaf_keys
 
-    def leaf_builder(values):
-        def leaf(kind, arg):
-            if kind == "identity":
-                return values[("identity",)]
-            if kind == "lagrange":
-                return values[("lagrange", arg)]
-            if kind == "eq_xy":
-                return values[("eq", arg)]
-            if kind == "poly":
-                return values[("poly", arg.poly, arg.rotation)]
-            raise ValueError(kind)
-
-        return leaf
+    used = []
+    for t in terms:
+        for k in _term_leaf_keys(t):
+            if k not in used:
+                used.append(k)
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=({k: PS("data", None) for k in keys}, [PS(None)] * 0),
-        out_specs=PS(None),
+        in_specs=({k: PS("data", None) for k in used}, PS(None, None)),
+        out_specs=PS(None, None, None),
         check_vma=False,
     )
-    def inner(arrays, _challenges):
-        e1 = {k: arrays[k][1::2] for k in arrays}
-        step = {k: F.sub(spec, e1[k], arrays[k][0::2]) for k in arrays}
-        out = []
+    def inner(arrays, chal):
+        challenges = [chal[i] for i in range(num_challenges)]
+        e1 = {k: arrays[k][1::2] for k in used}
+        half_local = arrays[used[0]].shape[0] // 2 if used else 1
+        step = (
+            {k: F.sub(spec, e1[k], arrays[k][0::2]) for k in used}
+            if degree > 1
+            else None
+        )
+        half_c = jnp.asarray(spec.encode([half_local]))[0]
+        outs = []
         values = e1
         for t in range(1, degree + 1):
             if t > 1:
-                values = {k: F.add(spec, values[k], step[k]) for k in values}
-            term = evaluate_jnp(spec, expression, leaf_builder(values), [])
-            partial = F.sum_reduce(spec, term)
-            total_lazy = jax.lax.psum(partial, "data")
-            out.append(_renormalize(spec, total_lazy))
-        return jnp.stack(out)
+                values = {k: F.add(spec, values[k], step[k]) for k in used}
+            row = []
+            for term in terms:
+                v = evaluate_jnp(spec, term, _leaf_builder(values), challenges)
+                if v.ndim == 1:
+                    # hypercube-constant: shard-local half count; psum of
+                    # v*half_local over D shards == v * half_total
+                    v = F.mont_mul(spec, v, half_c)
+                else:
+                    v = F.sum_reduce(spec, v)
+                row.append(v)
+            outs.append(jnp.stack(row))
+        total_lazy = jax.lax.psum(jnp.stack(outs), "data")
+        return _renormalize(spec, total_lazy)
 
-    return jax.jit(lambda arrays: inner(arrays, []))
+    inner.__name__ = f"sharded_chunk_fn_{len(terms)}t"
+    return jax.jit(inner)
+
+
+def make_sharded_fold_fn(spec: FieldSpec, mesh: Mesh, keys):
+    """Jitted sharded fix_var over a dict of leaf tables: the X_0 fold pairs
+    adjacent elements WITHIN each shard under axis-0 (high-bit) sharding, so
+    it is communication-free."""
+    from halo2_lasso_tpu.poly import multilinear as mle
+
+    keys = tuple(keys)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=({k: PS("data", None) for k in keys}, PS(None)),
+        out_specs={k: PS("data", None) for k in keys},
+        check_vma=False,
+    )
+    def inner(arrays, x):
+        return {k: mle.fix_var(spec, v, x) for k, v in arrays.items()}
+
+    return jax.jit(inner)
+
+
+def make_sharded_coeff_fn(spec: FieldSpec, mesh: Mesh, num_terms: int):
+    """Sharded CoefficientsProver round kernel (degree-2 batch-open sumcheck,
+    piop/sum_check.prove_coeff_products): per-term (c0, c2) column sums with
+    one psum."""
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=([PS("data", None)] * num_terms, [PS("data", None)] * num_terms),
+        out_specs=(PS(None, None), PS(None, None)),
+        check_vma=False,
+    )
+    def inner(eqs, polys):
+        c0s, c2s = [], []
+        for eq, poly in zip(eqs, polys):
+            e0, e1 = eq[0::2], eq[1::2]
+            p0, p1 = poly[0::2], poly[1::2]
+            c0s.append(F.sum_reduce(spec, F.mont_mul(spec, e0, p0)))
+            c2s.append(
+                F.sum_reduce(
+                    spec,
+                    F.mont_mul(spec, F.sub(spec, e1, e0), F.sub(spec, p1, p0)),
+                )
+            )
+        c0 = _renormalize(spec, jax.lax.psum(jnp.stack(c0s), "data"))
+        c2 = _renormalize(spec, jax.lax.psum(jnp.stack(c2s), "data"))
+        return c0, c2
+
+    return jax.jit(inner)
+
+
+_SHARDED_MSM_CACHE: Dict[Tuple, object] = {}
+
+
+def sharded_msm_cached(mesh: Mesh, window_bits: int = 16):
+    key = (id(mesh), window_bits)
+    fn = _SHARDED_MSM_CACHE.get(key)
+    if fn is None:
+        fn = sharded_msm(mesh, window_bits)
+        _SHARDED_MSM_CACHE[key] = fn
+    return fn
 
 
 def sharded_msm(mesh: Mesh, window_bits: int = 16):

@@ -248,6 +248,50 @@ def _make_chunk_fn(spec: FieldSpec, terms: Sequence[Expression], degree: int):
     return jax.jit(chunk_fn)
 
 
+def _sharded_round(
+    spec: FieldSpec,
+    mesh,
+    arrays: Dict,
+    chal_stack: jnp.ndarray,
+    num_challenges: int,
+    coeff_terms,
+    coeff_vals,
+    chunk_lists,
+    degree: int,
+    size: int,
+) -> List[int]:
+    """One sharded round message (t=1..degree tail), chunked like the
+    single-device path; per-chunk psum inside the sharded kernel, host
+    alpha-combination of the per-term sums."""
+    from halo2_lasso_tpu.parallel import sharding as shd
+
+    p = spec.modulus
+    chunk_outs = []
+    for idxs in chunk_lists:
+        terms = [coeff_terms[i][1] for i in idxs]
+        cache_key = (
+            "sharded",
+            spec.name,
+            id(mesh),
+            tuple(t.structural_key for t in terms),
+            degree,
+            size,
+            num_challenges,
+        )
+        fn = _round_fn_cache.get(cache_key)
+        if fn is None:
+            fn = shd.make_sharded_chunk_fn(spec, mesh, terms, degree, num_challenges)
+            _round_fn_cache[cache_key] = fn
+        chunk_outs.append((idxs, fn(arrays, chal_stack)))
+    msg_tail = [0] * degree
+    for idxs, out in chunk_outs:
+        vals = spec.decode(np.asarray(out))  # (degree, T) object ints
+        for t in range(degree):
+            for j, i in enumerate(idxs):
+                msg_tail[t] += coeff_vals[i] * int(vals[t][j])
+    return [v % p for v in msg_tail]
+
+
 def _make_fold_fn(spec: FieldSpec):
     def fold_fn(arrays: Dict, challenge: jnp.ndarray):
         return {k: mle.fix_var(spec, v, challenge) for k, v in arrays.items()}
@@ -336,10 +380,46 @@ def prove(
         if virtual_poly.challenges:
             chal_lf = jnp.asarray(spec.encode(list(virtual_poly.challenges)))
 
+    # multi-chip: shard the hypercube axis over the active mesh (see
+    # parallel/sharding.py). Rounds stay sharded while every shard holds at
+    # least one fold pair; the tiny tail is replicated and follows the
+    # single-device path. Proof bytes are identical either way.
+    from halo2_lasso_tpu.parallel import sharding as shd
+
+    mesh = shd.active_mesh()
+    sharded_now = False
+    if mesh is not None and not use_pallas and (1 << num_vars) >= 2 * mesh.size:
+        arrays = {k: shd.shard_evals(mesh, v) for k, v in arrays.items()}
+        chal_stack = (
+            jnp.asarray(spec.encode(list(virtual_poly.challenges)))
+            if virtual_poly.challenges
+            else jnp.zeros((0, spec.num_limbs), jnp.uint32)
+        )
+        chal_stack = shd.replicate(mesh, chal_stack)
+        sharded_now = True
+
     for rnd in range(num_vars):
         size = 1 << (num_vars - rnd)
 
-        if use_pallas and size >= PALLAS_MIN:
+        if sharded_now and size < 2 * mesh.size:
+            # tail: gather to replication, continue single-device path
+            arrays = {k: shd.replicate(mesh, v) for k, v in arrays.items()}
+            sharded_now = False
+
+        if sharded_now:
+            msg_tail = _sharded_round(
+                spec,
+                mesh,
+                arrays,
+                chal_stack,
+                len(virtual_poly.challenges),
+                coeff_terms,
+                coeff_vals,
+                chunk_lists,
+                degree,
+                size,
+            )
+        elif use_pallas and size >= PALLAS_MIN:
             from halo2_lasso_tpu.ops import pallas_field as PF
 
             pkey = ("msg", spec.name, expr_key, degree, len(keys), size)
@@ -391,7 +471,14 @@ def prove(
         current_sum = barycentric_interpolate(p, weights, points, evals, r)
 
         r_dev = jnp.asarray(spec.encode([r]))[0]
-        if lf_tables is not None:
+        if sharded_now:
+            skey = ("sfold", spec.name, id(mesh), tuple(sorted(arrays)))
+            sfn = _round_fn_cache.get(skey)
+            if sfn is None:
+                sfn = shd.make_sharded_fold_fn(spec, mesh, sorted(arrays))
+                _round_fn_cache[skey] = sfn
+            arrays = sfn(arrays, shd.replicate(mesh, r_dev))
+        elif lf_tables is not None:
             from halo2_lasso_tpu.ops import pallas_field as PF
 
             fkey = ("fold", spec.name, expr_key, len(keys), size)
@@ -463,17 +550,37 @@ def prove_coeff_products(
     polys = [t[2] for t in terms]
     scalars = [t[0] % p for t in terms]
 
+    from halo2_lasso_tpu.parallel import sharding as shd
+
+    mesh = shd.active_mesh()
+    sharded_now = False
+    if mesh is not None and (1 << num_vars) >= 2 * mesh.size:
+        eqs = [shd.shard_evals(mesh, v) for v in eqs]
+        polys = [shd.shard_evals(mesh, v) for v in polys]
+        sharded_now = True
+
     fold_fn = _fold_fn_cache.setdefault(spec.name, _make_fold_fn(spec))
     challenges: List[int] = []
     current_sum = sum_ % p
 
     for rnd in range(num_vars):
         size = 1 << (num_vars - rnd)
-        key = (spec.name, len(terms), size)
-        round_fn = _coeff_fn_cache.get(key)
-        if round_fn is None:
-            round_fn = _make_coeff_round_fn(spec, len(terms))
-            _coeff_fn_cache[key] = round_fn
+        if sharded_now and size < 2 * mesh.size:
+            eqs = [shd.replicate(mesh, v) for v in eqs]
+            polys = [shd.replicate(mesh, v) for v in polys]
+            sharded_now = False
+        if sharded_now:
+            key = ("sharded", spec.name, id(mesh), len(terms), size)
+            round_fn = _coeff_fn_cache.get(key)
+            if round_fn is None:
+                round_fn = shd.make_sharded_coeff_fn(spec, mesh, len(terms))
+                _coeff_fn_cache[key] = round_fn
+        else:
+            key = (spec.name, len(terms), size)
+            round_fn = _coeff_fn_cache.get(key)
+            if round_fn is None:
+                round_fn = _make_coeff_round_fn(spec, len(terms))
+                _coeff_fn_cache[key] = round_fn
         c0d, c2d = round_fn(eqs, polys)
         c0l = [int(v) for v in spec.decode(np.asarray(c0d))]
         c2l = [int(v) for v in spec.decode(np.asarray(c2d))]
@@ -487,7 +594,17 @@ def prove_coeff_products(
         current_sum = (c0 + c1 * r + c2 * r * r) % p
 
         r_dev = jnp.asarray(spec.encode([r]))[0]
-        folded = fold_fn({i: a for i, a in enumerate(eqs + polys)}, r_dev)
+        if sharded_now:
+            fkey = ("sfold", spec.name, id(mesh), 2 * len(terms))
+            sfn = _coeff_fn_cache.get(fkey)
+            if sfn is None:
+                sfn = shd.make_sharded_fold_fn(spec, mesh, range(2 * len(terms)))
+                _coeff_fn_cache[fkey] = sfn
+            folded = sfn(
+                {i: a for i, a in enumerate(eqs + polys)}, shd.replicate(mesh, r_dev)
+            )
+        else:
+            folded = fold_fn({i: a for i, a in enumerate(eqs + polys)}, r_dev)
         eqs = [folded[i] for i in range(len(eqs))]
         polys = [folded[i + len(eqs)] for i in range(len(polys))]
 

@@ -45,20 +45,24 @@ def test_sharded_fix_var(mesh):
     assert np.array_equal(got, expect)
 
 
-def test_sharded_round_message_matches_single(mesh):
+def test_sharded_chunk_fn_matches_single(mesh):
+    """Sharded round kernel (with a CHALLENGE input — the fix for the round-1
+    gap where sharded rounds took no challenges) == single-device math."""
     k = 6
-    e = Expression.poly(0) * Expression.poly(1) * Expression.eq_xy(0)
+    c0 = Expression.challenge(0)
+    e = (Expression.poly(0) + c0) * Expression.poly(1) * Expression.eq_xy(0)
     polys = [rand_fes(1 << k) for _ in range(2)]
     y = rand_fes(k)
+    chal = rand_fes(1)
     arrays = {
         ("poly", 0, 0): jnp.asarray(Fr.encode(polys[0])),
         ("poly", 1, 0): jnp.asarray(Fr.encode(polys[1])),
         ("eq", 0): mle.eq_xy(Fr, jnp.asarray(Fr.encode(y))),
     }
-    keys = list(arrays.keys())
-    fn = sh.sharded_round_message(Fr, e, keys, e.degree, mesh)
-    got = fn({kk: sh.shard_evals(mesh, v) for kk, v in arrays.items()})
-    got_ints = [F.decode_scalar(Fr, np.asarray(row)) for row in np.asarray(got)]
+    fn = sh.make_sharded_chunk_fn(Fr, mesh, [e], e.degree, 1)
+    chal_stack = sh.replicate(mesh, jnp.asarray(Fr.encode(chal)))
+    got = fn({kk: sh.shard_evals(mesh, v) for kk, v in arrays.items()}, chal_stack)
+    got_ints = [F.decode_scalar(Fr, np.asarray(got[t, 0])) for t in range(e.degree)]
 
     # single-device ground truth via the same math
     from halo2_lasso_tpu.expression import evaluate_jnp
@@ -71,6 +75,7 @@ def test_sharded_round_message_matches_single(mesh):
 
         return f
 
+    chal_dev = [jnp.asarray(Fr.encode(chal))[0]]
     e1 = {kk: v[1::2] for kk, v in arrays.items()}
     step = {kk: F.sub(Fr, e1[kk], arrays[kk][0::2]) for kk in arrays}
     expect = []
@@ -78,6 +83,37 @@ def test_sharded_round_message_matches_single(mesh):
     for t in range(1, e.degree + 1):
         if t > 1:
             values = {kk: F.add(Fr, values[kk], step[kk]) for kk in values}
-        term = evaluate_jnp(Fr, e, leaf(values), [])
+        term = evaluate_jnp(Fr, e, leaf(values), chal_dev)
         expect.append(F.decode_scalar(Fr, np.asarray(F.sum_reduce(Fr, term))))
     assert got_ints == expect
+
+
+def test_sharded_hyperplonk_proof_byte_identical(mesh):
+    """Full HyperPlonk prove under use_mesh == single-device proof, byte for
+    byte (sharded zero-check rounds incl. beta/gamma/alpha challenges,
+    sharded batch-open coeff sumcheck, sharded KZG MSMs), and verifies."""
+    from halo2_lasso_tpu.backend.hyperplonk import HyperPlonk, new_transcript
+    from halo2_lasso_tpu.backend.hyperplonk.fixtures import (
+        rand_vanilla_plonk_circuit,
+    )
+
+    nv = 4
+    circuit_info, circuit = rand_vanilla_plonk_circuit(
+        nv, np.random.RandomState(nv), np.random.RandomState(100 + nv)
+    )
+    param = HyperPlonk.setup(circuit_info, np.random.RandomState(0))
+    pp, vp = HyperPlonk.preprocess(param, circuit_info)
+
+    tw = new_transcript()
+    HyperPlonk.prove(pp, circuit, tw)
+    proof_single = tw.into_proof()
+
+    with sh.use_mesh(mesh):
+        tw2 = new_transcript()
+        HyperPlonk.prove(pp, circuit, tw2)
+        proof_sharded = tw2.into_proof()
+
+    assert proof_sharded == proof_single
+
+    tr = new_transcript(proof_sharded)
+    HyperPlonk.verify(vp, circuit.instances(), tr)
