@@ -43,6 +43,46 @@ K = int(os.environ.get("BENCH_K", "18"))
 REFERENCE_POINTS_PER_S = 4.2e6  # pinned CPU estimate, see BASELINE.md
 
 
+def _pallas_selftest() -> str:
+    """Full sumcheck proof, Pallas path vs jnp path: byte-equal or 'FAIL'.
+    Recorded into the driver's BENCH artifact so the bit-exactness claim is
+    reproducible (the CPU test suite cannot exercise the Pallas path)."""
+    import numpy as _np
+
+    from halo2_lasso_tpu.expression import Expression
+    from halo2_lasso_tpu.ops import field as F
+    from halo2_lasso_tpu.ops.bn254 import FQ_MODULUS, Fr
+    from halo2_lasso_tpu.piop import sum_check
+    from halo2_lasso_tpu.poly import multilinear as mle
+    from halo2_lasso_tpu.transcript import Keccak256Transcript
+
+    P = Fr.modulus
+    rng = _np.random.RandomState(9)
+    k = 13  # above PALLAS_MIN: fast path + the below-threshold transition
+    e = (Expression.poly(0) * Expression.poly(1) + Expression.poly(2)) * Expression.eq_xy(0)
+    fes = lambda n: [int.from_bytes(rng.bytes(40), "little") % P for _ in range(n)]
+    polys = [jnp.asarray(Fr.encode(fes(1 << k))) for _ in range(3)]
+    y = fes(k)
+    eq = mle.eq_xy(Fr, jnp.asarray(Fr.encode(y)))
+    term = F.add(Fr, F.mont_mul(Fr, polys[0], polys[1]), polys[2])
+    s = int(Fr.decode(np.asarray(F.sum_reduce(Fr, F.mont_mul(Fr, term, eq)))[None])[0])
+
+    def run():
+        tw = Keccak256Transcript(P, base_modulus=FQ_MODULUS, curve_b=3)
+        vp = sum_check.VirtualPolynomial(e, polys, [], [y])
+        sum_check.prove(Fr, k, vp, s, tw)
+        return tw.into_proof()
+
+    os.environ["HALO2_LASSO_TPU_PALLAS"] = "1"
+    pa = run()
+    os.environ["HALO2_LASSO_TPU_PALLAS"] = "0"
+    try:
+        pj = run()
+    finally:
+        os.environ["HALO2_LASSO_TPU_PALLAS"] = "1"
+    return "pass:byte-equal" if pa == pj else "FAIL"
+
+
 def main():
     from __graft_entry__ import _flagship_round
     from halo2_lasso_tpu.expression import evaluate_jnp
@@ -59,7 +99,7 @@ def main():
         from halo2_lasso_tpu.ops import pallas_field as PF
 
         keys = list(arrays.keys())
-        tables = {k: jnp.asarray(np.asarray(v).T.copy()) for k, v in arrays.items()}
+        tables = {k: PF.to_lf(v) for k, v in arrays.items()}
         ch = jnp.asarray(np.asarray(challenge)[:, None].copy())
         rf = PF.make_sumcheck_round(Fr, expression, keys, degree)
 
@@ -86,6 +126,7 @@ def main():
                     "value": round(points_per_s, 1),
                     "unit": "hypercube points/s (vanilla-plonk round msg+fold, fused pallas)",
                     "vs_baseline": round(points_per_s / REFERENCE_POINTS_PER_S, 4),
+                    "pallas_selftest": _pallas_selftest(),
                 }
             )
         )

@@ -1,14 +1,24 @@
 """Pallas TPU kernels for packed-limb field arithmetic.
 
-Layout: limbs-FIRST uint32[L, N] — limb index in sublanes, batch in lanes —
-so each per-limb row is a full (N,) lane vector and the unrolled schoolbook
-/ reduction pipeline runs entirely in VMEM with no relayouts. This is the
-hand-scheduled counterpart of ops/field.py's jnp path (which XLA fuses but
-keeps in batch-major layout); bench_pallas.py compares both on hardware.
+Layout (v2): limbs-first TILE-ALIGNED 3D — uint32[L, S, 128] with S = N/128.
+Row-major, each limb's (S, 128) plane is S/8 native (8, 128) VREG tiles, so
+slicing limb i out of a loaded block is layout-free (the round-1 (L, N) rows
+forced Mosaic relayouts on every per-limb op; measured 2.4-6x slower).
+
+Hypercube storage order (v2): BIT-REVERSED indices. The sumcheck folds the
+lowest logical variable each round (reference semantics, classic.rs:90-141);
+under bit-reversed storage the fold pairs (b0=0, b0=1) are the contiguous
+(first half, second half) of the array — EVERY round, all the way down —
+so no stride-2 de-interleave gather ever happens, and the folded output is
+again bit-reversed storage for the remaining variables. One gather at entry
+(to_lf), one at exit (from_lf); round messages are sums over the hypercube
+and therefore order-independent, so proofs stay byte-identical.
 
 Kernels:
-  * mont_mul:   c = a*b*R^{-1} mod p
-  * fix_var:    out = (odd - even)*x + even  (the sumcheck fold, fused)
+  * make_sumcheck_round: fused EvaluationsProver round (message at t=1..d
+    + fold of every leaf table, one VMEM-resident pass)
+  * make_fold_all: fold-only kernel
+  * make_mont_mul / make_fix_var: microbench / building-block kernels
 """
 
 from __future__ import annotations
@@ -24,17 +34,76 @@ from jax.experimental.pallas import tpu as pltpu
 
 from halo2_lasso_tpu.ops.field import LIMB_BITS, LIMB_MASK, FieldSpec
 
-TILE = 1024  # lanes per grid step
+TILE_S = 8  # sublane-rows per grid step: 8*128 = 1024 lanes/block
+LANE = 128
+
+
+# ---------------------------------------------------------------------------
+# layout transforms (XLA level, once per sumcheck)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _bitrev_indices(k: int) -> np.ndarray:
+    n = 1 << k
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int32)
+    for b in range(k):
+        rev |= ((idx >> b) & 1) << (k - 1 - b)
+    return rev
+
+
+@functools.lru_cache(maxsize=None)
+def _to_lf_fn(L: int, n: int):
+    idx = jnp.asarray(_bitrev_indices(n.bit_length() - 1))
+
+    @jax.jit
+    def f(a):  # (n, L) -> (L, n//128, 128), bit-reversed storage
+        return jnp.transpose(a[idx], (1, 0)).reshape(L, n // LANE, LANE)
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _from_lf_fn(L: int, n: int):
+    idx = jnp.asarray(_bitrev_indices(n.bit_length() - 1))
+
+    @jax.jit
+    def f(t):  # (L, n//128, 128) -> (n, L), logical order
+        return jnp.transpose(t.reshape(L, n), (1, 0))[idx]
+
+    return f
+
+
+def to_lf(arr: jnp.ndarray) -> jnp.ndarray:
+    """(N, L) logical-order -> (L, N/128, 128) bit-reversed tile layout."""
+    n, L = arr.shape
+    return _to_lf_fn(L, n)(arr)
+
+
+def from_lf(t: jnp.ndarray) -> jnp.ndarray:
+    """(L, S, 128) bit-reversed tile layout -> (N, L) logical order."""
+    L, S, _ = t.shape
+    return _from_lf_fn(L, S * LANE)(t)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel field helpers on lists of limb rows (any row shape)
+# ---------------------------------------------------------------------------
 
 
 def _mont_mul_body(spec: FieldSpec, a, b):
-    """a, b: (L, T) u32 -> (L, T). Fully unrolled; all values stay in VMEM."""
+    """a, b: (L, ...) u32 stacked limb arrays -> (L, ...). Fully unrolled."""
+    L = spec.num_limbs
+    out = _mul_rows(spec, [a[i] for i in range(L)], [b[i] for i in range(L)])
+    return jnp.stack(out, axis=0)
+
+
+def _mul_rows(spec: FieldSpec, ai, bi):
+    """Schoolbook + Montgomery reduction on lists of limb rows."""
     L = spec.num_limbs
     p_limbs = [int(v) for v in spec.p_limbs]
     npr = jnp.uint32(getattr(spec, "npr16"))
-
-    ai = [a[i] for i in range(L)]
-    bi = [b[i] for i in range(L)]
 
     # schoolbook columns with lazy carries: t[k] < 2^21
     t = [None] * (2 * L)
@@ -82,175 +151,10 @@ def _mont_mul_body(spec: FieldSpec, a, b):
         d.append(v & LIMB_MASK)
         borrow = (v >> LIMB_BITS) & 1
     use_d = borrow == 0
-    out = [jnp.where(use_d, d[k], r[k]) for k in range(L)]
-    return jnp.stack(out, axis=0)
-
-
-def make_mont_mul(spec: FieldSpec):
-    """Returns jitted f(a (L, N), b (L, N)) -> (L, N)."""
-    L = spec.num_limbs
-
-    def kernel(a_ref, b_ref, o_ref):
-        o_ref[:] = _mont_mul_body(spec, a_ref[:], b_ref[:])
-
-    @jax.jit
-    def mont_mul_lf(a, b):
-        n = a.shape[1]
-        assert n % TILE == 0
-        grid = (n // TILE,)
-        return pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((L, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((L, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((L, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct(a.shape, jnp.uint32),
-        )(a, b)
-
-    return mont_mul_lf
-
-
-def make_fix_var(spec: FieldSpec):
-    """Returns jitted f(evals (L, N), x (L, 1)) -> (L, N/2):
-    out = (odd - even) * x + even, fused in one VMEM pass."""
-    L = spec.num_limbs
-    p_limbs = [int(v) for v in spec.p_limbs]
-
-    def kernel(even_ref, odd_ref, x_ref, o_ref):
-        # even/odd pre-split OUTSIDE the kernel: lane-strided slicing does
-        # not lower in Mosaic (gather); XLA handles the de-interleave.
-        even_full = even_ref[:]  # (L, T)
-        odd_full = odd_ref[:]
-        x = x_ref[:]  # (L, 1)
-        even = [even_full[i] for i in range(L)]
-        odd = [odd_full[i] for i in range(L)]
-        # sub mod p
-        diff = []
-        borrow = jnp.zeros_like(even[0])
-        for k in range(L):
-            v = odd[k] - even[k] - borrow
-            diff.append(v & LIMB_MASK)
-            borrow = (v >> LIMB_BITS) & 1
-        underflow = borrow == 1
-        carry = jnp.zeros_like(even[0])
-        for k in range(L):
-            v = diff[k] + jnp.where(underflow, jnp.uint32(p_limbs[k]), 0) + carry
-            diff[k] = v & LIMB_MASK
-            carry = v >> LIMB_BITS
-        d = jnp.stack(diff, axis=0)
-        xb = jnp.broadcast_to(x, d.shape)
-        prod = _mont_mul_body(spec, d, xb)
-        # add even mod p
-        out = []
-        carry = jnp.zeros_like(even[0])
-        for k in range(L):
-            v = prod[k] + even[k] + carry
-            out.append(v & LIMB_MASK)
-            carry = v >> LIMB_BITS
-        borrow = jnp.zeros_like(even[0])
-        d2 = []
-        for k in range(L):
-            v = out[k] - jnp.uint32(p_limbs[k]) - borrow
-            d2.append(v & LIMB_MASK)
-            borrow = (v >> LIMB_BITS) & 1
-        use_d = borrow == 0
-        o_ref[:] = jnp.stack(
-            [jnp.where(use_d, d2[k], out[k]) for k in range(L)], axis=0
-        )
-
-    @jax.jit
-    def fix_var_lf(evals, x):
-        n = evals.shape[1]
-        assert n % (2 * TILE) == 0
-        even = evals[:, 0::2]
-        odd = evals[:, 1::2]
-        grid = (n // (2 * TILE),)
-        return pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((L, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((L, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((L, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((L, n // 2), jnp.uint32),
-        )(even, odd, x)
-
-    return fix_var_lf
-
-
-def to_limbs_first(arr: jnp.ndarray) -> jnp.ndarray:
-    """(N, L) -> (L, N)."""
-    return jnp.transpose(arr, (1, 0))
-
-
-def from_limbs_first(arr: jnp.ndarray) -> jnp.ndarray:
-    return jnp.transpose(arr, (1, 0))
-
-
-def make_fold_all(spec: FieldSpec, keys):
-    """One kernel folding EVERY table of the sumcheck state with the same
-    challenge: f(tables dict (L, N), x (L, 1)) -> dict (L, N/2)."""
-    L = spec.num_limbs
-    keys = list(keys)
-    nin = len(keys)
-
-    def kernel(*refs):
-        even_refs = refs[:nin]
-        odd_refs = refs[nin : 2 * nin]
-        x_ref = refs[2 * nin]
-        out_refs = refs[2 * nin + 1 :]
-        x = x_ref[:]
-        like = even_refs[0][:][0]
-        xrows = [jnp.broadcast_to(x[i], like.shape) for i in range(L)]
-        for eref, oref, fref in zip(even_refs, odd_refs, out_refs):
-            e = eref[:]
-            o = oref[:]
-            evens = [e[i] for i in range(L)]
-            odds = [o[i] for i in range(L)]
-            diff = _sub_rows(spec, odds, evens)
-            prod = _mul_rows(spec, diff, xrows)
-            folded = _add_rows(spec, prod, evens)
-            fref[:] = jnp.stack(folded, axis=0)
-
-    @jax.jit
-    def fold_fn(tables: dict, x):
-        n = tables[keys[0]].shape[1]
-        assert n % (2 * TILE) == 0
-        nblocks = n // (2 * TILE)
-        evens = [tables[k][:, 0::2] for k in keys]
-        odds = [tables[k][:, 1::2] for k in keys]
-        in_specs = [
-            pl.BlockSpec((L, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
-        ] * (2 * nin) + [
-            pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
-        ]
-        out_specs = [
-            pl.BlockSpec((L, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
-        ] * nin
-        out_shape = [jax.ShapeDtypeStruct((L, n // 2), jnp.uint32)] * nin
-        outs = pl.pallas_call(
-            kernel,
-            grid=(nblocks,),
-            in_specs=in_specs,
-            out_specs=out_specs,
-            out_shape=out_shape,
-        )(*evens, *odds, x)
-        return {k: v for k, v in zip(keys, outs)}
-
-    return fold_fn
-
-
-# ---------------------------------------------------------------------------
-# fused sumcheck round kernel
-# ---------------------------------------------------------------------------
+    return [jnp.where(use_d, d[k], r[k]) for k in range(L)]
 
 
 def _add_rows(spec, a, b):
-    """row-lists mod-p add: a, b lists of (T,) u32."""
     L = spec.num_limbs
     p_limbs = [int(v) for v in spec.p_limbs]
     out = []
@@ -288,14 +192,154 @@ def _sub_rows(spec, a, b):
     return res
 
 
-def _mul_rows(spec, a, b):
-    out = _mont_mul_body(spec, jnp.stack(a, axis=0), jnp.stack(b, axis=0))
-    return [out[i] for i in range(spec.num_limbs)]
-
-
 def _neg_rows(spec, a):
     zero = [jnp.zeros_like(a[0]) for _ in range(spec.num_limbs)]
     return _sub_rows(spec, zero, a)
+
+
+def _scalar_rows(x, L, shape):
+    """In-kernel broadcast of a pre-lane-broadcast (L, LANE) scalar block to
+    per-limb (tile, LANE) rows. Mosaic cannot broadcast (1, 1) -> (s, l) in
+    one step ("broadcast in both sublanes and lanes"), so callers broadcast
+    the lane axis OUTSIDE the kernel and only the sublane axis is expanded
+    here."""
+    return [
+        jnp.broadcast_to(x[i].reshape(1, LANE), shape) for i in range(L)
+    ]
+
+
+def _lane_bcast(x):
+    """(rows, 1) -> (rows, LANE) at the XLA level (outside the kernel)."""
+    return jnp.broadcast_to(x, (x.shape[0], LANE))
+
+
+# ---------------------------------------------------------------------------
+# building-block kernels (microbench surface)
+# ---------------------------------------------------------------------------
+
+
+def make_mont_mul(spec: FieldSpec):
+    """Returns jitted f(a (L, S, 128), b (L, S, 128)) -> (L, S, 128)."""
+    L = spec.num_limbs
+
+    def kernel(a_ref, b_ref, o_ref):
+        o_ref[:] = _mont_mul_body(spec, a_ref[:], b_ref[:])
+
+    @jax.jit
+    def mont_mul_lf(a, b):
+        S = a.shape[1]
+        tile = min(TILE_S, S)
+        spec3 = lambda: pl.BlockSpec(
+            (L, tile, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(S // tile,),
+            in_specs=[spec3(), spec3()],
+            out_specs=spec3(),
+            out_shape=jax.ShapeDtypeStruct(a.shape, jnp.uint32),
+        )(a, b)
+
+    return mont_mul_lf
+
+
+def make_fix_var(spec: FieldSpec):
+    """Returns jitted f(evals (L, S, 128) bit-rev storage, x (L, 1)) ->
+    (L, S/2, 128): out = (hi - lo)*x + lo, the sumcheck fold."""
+    L = spec.num_limbs
+
+    def kernel(lo_ref, hi_ref, x_ref, o_ref):
+        lo = lo_ref[:]
+        hi = hi_ref[:]
+        x = x_ref[:]
+        like = lo[0]
+        xrows = _scalar_rows(x, L, like.shape)
+        los = [lo[i] for i in range(L)]
+        his = [hi[i] for i in range(L)]
+        diff = _sub_rows(spec, his, los)
+        prod = _mul_rows(spec, diff, xrows)
+        folded = _add_rows(spec, prod, los)
+        o_ref[:] = jnp.stack(folded, axis=0)
+
+    @jax.jit
+    def fix_var_lf(evals, x):
+        S = evals.shape[1]
+        Sh = S // 2
+        tile = min(TILE_S, Sh)
+        lo = evals[:, :Sh, :]
+        hi = evals[:, Sh:, :]
+        spec3 = lambda: pl.BlockSpec(
+            (L, tile, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(Sh // tile,),
+            in_specs=[
+                spec3(),
+                spec3(),
+                pl.BlockSpec((L, LANE), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=spec3(),
+            out_shape=jax.ShapeDtypeStruct((L, Sh, LANE), jnp.uint32),
+        )(lo, hi, _lane_bcast(x))
+
+    return fix_var_lf
+
+
+def make_fold_all(spec: FieldSpec, keys):
+    """One kernel folding EVERY table of the sumcheck state with the same
+    challenge: f(tables dict (L, S, 128) bit-rev, x (L, 1)) -> dict
+    (L, S/2, 128)."""
+    L = spec.num_limbs
+    keys = list(keys)
+    nin = len(keys)
+
+    def kernel(*refs):
+        lo_refs = refs[:nin]
+        hi_refs = refs[nin : 2 * nin]
+        x_ref = refs[2 * nin]
+        out_refs = refs[2 * nin + 1 :]
+        x = x_ref[:]
+        like = lo_refs[0][:][0]
+        xrows = _scalar_rows(x, L, like.shape)
+        for lref, href, fref in zip(lo_refs, hi_refs, out_refs):
+            lo = lref[:]
+            hi = href[:]
+            los = [lo[i] for i in range(L)]
+            his = [hi[i] for i in range(L)]
+            diff = _sub_rows(spec, his, los)
+            prod = _mul_rows(spec, diff, xrows)
+            folded = _add_rows(spec, prod, los)
+            fref[:] = jnp.stack(folded, axis=0)
+
+    @jax.jit
+    def fold_fn(tables: dict, x):
+        S = tables[keys[0]].shape[1]
+        Sh = S // 2
+        tile = min(TILE_S, Sh)
+        los = [tables[k][:, :Sh, :] for k in keys]
+        his = [tables[k][:, Sh:, :] for k in keys]
+        spec3 = pl.BlockSpec(
+            (L, tile, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+        in_specs = [spec3] * (2 * nin) + [
+            pl.BlockSpec((L, LANE), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        ]
+        outs = pl.pallas_call(
+            kernel,
+            grid=(Sh // tile,),
+            in_specs=in_specs,
+            out_specs=[spec3] * nin,
+            out_shape=[jax.ShapeDtypeStruct((L, Sh, LANE), jnp.uint32)] * nin,
+        )(*los, *his, _lane_bcast(x))
+        return {k: v for k, v in zip(keys, outs)}
+
+    return fold_fn
+
+
+# ---------------------------------------------------------------------------
+# fused sumcheck round kernel
+# ---------------------------------------------------------------------------
 
 
 def make_sumcheck_round(
@@ -307,13 +351,15 @@ def make_sumcheck_round(
     include_fold: bool = True,
 ):
     """Fused EvaluationsProver round: for each grid block, evaluate the
-    traced expression at t = 1..degree over the block's half-pairs,
+    traced expression at t = 1..degree over the block's (lo, hi) half-pairs,
     accumulate per-block partial sums (16-bit-split), and emit the folded
     tables — one VMEM-resident pass over every leaf table.
 
-    Returns jitted f(tables: dict key -> (L, N), challenge (L, 1),
+    Returns jitted f(tables: dict key -> (L, S, 128) bit-reversed storage,
+                     challenge (L, 1) or None,
                      challenges (num_challenges, L) or None) ->
-      ((degree, L) round message in Montgomery form, folded tables dict).
+      ((degree, L) round message in Montgomery form,
+       folded tables dict (L, S/2, 128) or None).
 
     Expression challenge leaves are runtime inputs, so the kernel compiles
     ONCE per (expression shape, size) — not per proof.
@@ -333,8 +379,8 @@ def make_sumcheck_round(
         ]
 
     def kernel(*refs):
-        even_refs = refs[:nin]
-        odd_refs = refs[nin : 2 * nin]
+        lo_refs = refs[:nin]
+        hi_refs = refs[nin : 2 * nin]
         pos = 2 * nin
         x_ref = None
         if include_fold:
@@ -347,37 +393,37 @@ def make_sumcheck_round(
         out_partial_ref = refs[pos]
         fold_refs = refs[pos + 1 :]
 
-        evens = {}
-        odds = {}
-        for key, eref, oref in zip(keys, even_refs, odd_refs):
-            e = eref[:]
-            o = oref[:]
-            evens[key] = [e[i] for i in range(L)]
-            odds[key] = [o[i] for i in range(L)]
+        los = {}
+        his = {}
+        for key, lref, href in zip(keys, lo_refs, hi_refs):
+            lo = lref[:]
+            hi = href[:]
+            los[key] = [lo[i] for i in range(L)]
+            his[key] = [hi[i] for i in range(L)]
 
-        like = evens[keys[0]][0]
+        like = los[keys[0]][0]
 
         if include_fold:
-            # fold: out = (odd - even) * x + even
+            # fold: out = (hi - lo) * x + lo
             x = x_ref[:]
-            xrows = [jnp.broadcast_to(x[i], like.shape) for i in range(L)]
+            xrows = _scalar_rows(x, L, like.shape)
             for key, fref in zip(keys, fold_refs):
-                diff = _sub_rows(spec, odds[key], evens[key])
+                diff = _sub_rows(spec, his[key], los[key])
                 prod = _mul_rows(spec, diff, xrows)
-                folded = _add_rows(spec, prod, evens[key])
+                folded = _add_rows(spec, prod, los[key])
                 fref[:] = jnp.stack(folded, axis=0)
 
-        # message: values at t start at odd (t=1), step = odd - even
-        steps = {k: _sub_rows(spec, odds[k], evens[k]) for k in keys}
-        values = {k: odds[k] for k in keys}
+        # message: values at t start at hi (t=1), step = hi - lo
+        steps = {k: _sub_rows(spec, his[k], los[k]) for k in keys}
+        values = {k: his[k] for k in keys}
         partial_rows = []
 
         chal_rows = None
         if num_challenges:
-            c = chal_ref[:]  # (num_challenges * L, 1)
+            c = chal_ref[:]  # (num_challenges * L, LANE), pre-lane-broadcast
             chal_rows = [
                 [
-                    jnp.broadcast_to(c[j * L + i], like.shape)
+                    jnp.broadcast_to(c[j * L + i].reshape(1, LANE), like.shape)
                     for i in range(L)
                 ]
                 for j in range(num_challenges)
@@ -425,12 +471,12 @@ def make_sumcheck_round(
             if t > 1:
                 values = {k: _add_rows(spec, values[k], steps[k]) for k in keys}
             term = eval_expr(values)
-            # per-limb lane sums < 2^16 * TILE = 2^26; SPLIT into 16-bit
-            # halves so the caller's cross-block sum stays in u32
+            # per-limb lane sums < 2^16 * TILE_S*128 = 2^26; SPLIT into
+            # 16-bit halves so the caller's cross-block sum stays in u32
             cols = []
             for i in range(L):
                 # Mosaic lacks unsigned reductions; values < 2^16 so an
-                # int32 sum over TILE lanes stays < 2^26 and is exact.
+                # int32 sum over the block lanes stays < 2^26 and is exact.
                 s = jnp.sum(term[i].astype(jnp.int32)).astype(jnp.uint32)
                 cols.append(s & LIMB_MASK)
                 cols.append(s >> LIMB_BITS)
@@ -444,27 +490,31 @@ def make_sumcheck_round(
 
     @jax.jit
     def round_fn(tables: dict, challenge=None, challenges=None):
-        n = tables[keys[0]].shape[1]
-        assert n % (2 * TILE) == 0
-        nblocks = n // (2 * TILE)
-        evens = [tables[k][:, 0::2] for k in keys]
-        odds = [tables[k][:, 1::2] for k in keys]
-        in_specs = [
-            pl.BlockSpec((L, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
-        ] * (2 * nin)
+        S = tables[keys[0]].shape[1]
+        Sh = S // 2
+        tile = min(TILE_S, Sh)
+        nblocks = Sh // tile
+        los = [tables[k][:, :Sh, :] for k in keys]
+        his = [tables[k][:, Sh:, :] for k in keys]
+        spec3 = pl.BlockSpec(
+            (L, tile, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+        in_specs = [spec3] * (2 * nin)
         extra_in = []
         if include_fold:
             in_specs.append(
-                pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+                pl.BlockSpec((L, LANE), lambda i: (0, 0), memory_space=pltpu.VMEM)
             )
-            extra_in.append(challenge)
+            extra_in.append(_lane_bcast(challenge))
         if num_challenges:
             in_specs.append(
                 pl.BlockSpec(
-                    (num_challenges * L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
+                    (num_challenges * L, LANE),
+                    lambda i: (0, 0),
+                    memory_space=pltpu.VMEM,
                 )
             )
-            extra_in.append(challenges.reshape(num_challenges * L, 1))
+            extra_in.append(_lane_bcast(challenges.reshape(num_challenges * L, 1)))
         out_specs = [
             pl.BlockSpec(
                 (8, degree * 2 * L), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -474,17 +524,15 @@ def make_sumcheck_round(
             jax.ShapeDtypeStruct((8 * nblocks, degree * 2 * L), jnp.uint32)
         ]
         if include_fold:
-            out_specs += [
-                pl.BlockSpec((L, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
-            ] * nin
-            out_shape += [jax.ShapeDtypeStruct((L, n // 2), jnp.uint32)] * nin
+            out_specs += [spec3] * nin
+            out_shape += [jax.ShapeDtypeStruct((L, Sh, LANE), jnp.uint32)] * nin
         outs = pl.pallas_call(
             kernel,
             grid=(nblocks,),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
-        )(*evens, *odds, *extra_in)
+        )(*los, *his, *extra_in)
         # finish: sum the 16-bit split partials over blocks (u32-safe for
         # nblocks <= 2^16), recombine halves into lazy limbs, mod-reduce.
         split = jnp.sum(outs[0], axis=0, dtype=jnp.uint32).reshape(degree, L, 2)

@@ -376,7 +376,7 @@ def prove(
     if use_pallas:
         from halo2_lasso_tpu.ops import pallas_field as PF
 
-        lf_tables = {k: jnp.transpose(v, (1, 0)) for k, v in arrays.items()}
+        lf_tables = {k: PF.to_lf(v) for k, v in arrays.items()}
         if virtual_poly.challenges:
             chal_lf = jnp.asarray(spec.encode(list(virtual_poly.challenges)))
 
@@ -438,7 +438,9 @@ def prove(
             msg_tail = [int(v) for v in spec.decode(np.asarray(msg_dev))]
         else:
             if lf_tables is not None:  # dropped below the pallas threshold
-                arrays = {k: jnp.transpose(v, (1, 0)) for k, v in lf_tables.items()}
+                from halo2_lasso_tpu.ops import pallas_field as PF
+
+                arrays = {k: PF.from_lf(v) for k, v in lf_tables.items()}
                 lf_tables = None
             chunk_outs = []
             for idxs in chunk_lists:
@@ -491,7 +493,9 @@ def prove(
             arrays = fold_fn(arrays, r_dev)
 
     if lf_tables is not None:
-        arrays = {k: jnp.transpose(v, (1, 0)) for k, v in lf_tables.items()}
+        from halo2_lasso_tpu.ops import pallas_field as PF
+
+        arrays = {k: PF.from_lf(v) for k, v in lf_tables.items()}
 
     final_evals = [
         int(spec.decode(np.asarray(arrays[("poly", i, 0)][0]))[None][0])

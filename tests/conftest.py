@@ -1,10 +1,22 @@
 """Test configuration: force CPU platform with 8 virtual devices so multi-chip
-sharding tests run without TPU hardware (mirrors the driver's dryrun setup)."""
+sharding tests run without TPU hardware (mirrors the driver's dryrun setup).
+
+Set HALO2_LASSO_TPU_TPU_TESTS=1 to keep the real accelerator visible instead
+(for tests/test_pallas_tpu.py on the TPU machine; everything else in the
+suite still passes there, just slower through the device tunnel)."""
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_TPU_MODE = os.environ.get("HALO2_LASSO_TPU_TPU_TESTS", "0") == "1"
+
+# run the suite with prover-internal debug assertions on (the reference's
+# `sanity-check` feature is enabled for its tests too); CI sizes are tiny,
+# the extra host syncs are noise there
+os.environ.setdefault("HALO2_LASSO_TPU_SANITY", "1")
+
+if not _TPU_MODE:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -25,14 +37,19 @@ import jax  # noqa: E402
 
 # The axon TPU plugin ignores JAX_PLATFORMS from the environment; force CPU
 # through the config so tests never pay the device-tunnel latency.
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
 
 # Big-field limb graphs are expensive to compile; cache compilations across
 # test runs (first run pays, later runs are instant).
 # NOTE: deliberately a DIFFERENT cache dir from bench.py/TPU runs: executables
 # compiled by the axon-attached processes carry different CPU target features
 # and abort/SIGILL when loaded by the plain-CPU test processes.
-_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache_cpu")
+_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "..",
+    ".jax_cache_tpu" if _TPU_MODE else ".jax_cache_cpu",
+)
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
@@ -67,3 +84,16 @@ def _safe_put(cache_key, module_name, executable, backend, compile_time):
 
 
 _cc.put_executable_and_time = _safe_put
+
+# Long single-process runs (the full suite) accumulate dozens of large CPU
+# executables; this jaxlib then deterministically segfaults DESERIALIZING a
+# (standalone-fine) persistent-cache entry ~35 tests in. Dropping live
+# executables between test modules keeps the process off that cliff; the
+# persistent cache makes re-loads cheap.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    yield
+    jax.clear_caches()
