@@ -266,6 +266,17 @@ def permutation_z_polys(
     z_flat = jnp.concatenate(
         [zeros, one, prefix[: num_chunks * n - num_chunks - 1]], axis=0
     )
+    from halo2_lasso_tpu.config import sanity_enabled
+
+    if sanity_enabled():  # prover.rs:325-331: the grand product closes — the
+        # product of every chunk's fraction over the whole hypercube is one
+        total = prefix[-1]
+        for prod in products:
+            total = F.mont_mul(spec, total[None, :], prod[0][None, :])[0]
+        assert (
+            F.decode_scalar(spec, np.asarray(total)) == 1
+        ), "permutation grand product does not close"
+
     nth_map = jnp.asarray(bh.nth_map() * num_chunks)
     return [
         jnp.take(z_flat, nth_map + offset, axis=0) for offset in range(num_chunks)

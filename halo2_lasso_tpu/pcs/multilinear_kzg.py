@@ -168,6 +168,12 @@ class MultilinearKzg(PointCommitmentIO):
         transcript: Keccak256Transcript,
     ) -> None:
         quotients, _rem = MultilinearKzg.quotient_polys(evals, point)
+        from halo2_lasso_tpu.config import sanity_enabled
+
+        if sanity_enabled() and eval_ is not None:
+            # kzg.rs:286-289: the division remainder is the claimed eval
+            got = F.decode_scalar(Fr, np.asarray(_rem))
+            assert got == eval_ % Fr.modulus, "kzg open remainder != claimed eval"
         comms = [ec.msm_to_affine_int(pp.eqs[i], q) for i, q in quotients]
         transcript.write_commitments(comms)
 

@@ -148,6 +148,18 @@ def prove_fractional_sum_check(
         x.append(mu)
         y = x
 
+    from halo2_lasso_tpu.config import sanity_enabled
+
+    if sanity_enabled():  # fractional_sum_check.rs:184-187: final claims are
+        # the input MLEs evaluated at the final point
+        from halo2_lasso_tpu.poly import multilinear as mle
+
+        y_dev = jnp.asarray(spec.encode(list(y)))
+        for arrs, claims in ((ps, claimed_p_ys), (qs, claimed_q_ys)):
+            for arr, cl in zip(arrs, claims):
+                got = F.decode_scalar(spec, mle.evaluate(spec, arr, y_dev))
+                assert got == cl, "gkr final claim does not match input MLE"
+
     return claimed_p_ys, claimed_q_ys, y, top_claims
 
 
