@@ -35,9 +35,10 @@ from halo2_lasso_tpu.ops import ec as jec
 from halo2_lasso_tpu.ops import field as F
 from halo2_lasso_tpu.ops.bn254 import Fq, Fr
 from halo2_lasso_tpu.ops.field import LIMB_BITS, LIMB_MASK
-from halo2_lasso_tpu.ops.pallas_field import _mont_mul_body
+from halo2_lasso_tpu.ops.pallas_field import _add_rows, _mul_rows, _sub_rows
 
-TILE = 512  # lanes per grid step (3 coords x 2 operands x 16 limbs x 4B x TILE fits VMEM)
+TILE_S = 8  # sublane-rows per grid step: 8*128 = 1024 lanes/block
+LANE = 128
 PALLAS_MIN = 256  # below this many lanes the jnp combiner is used
 
 L = Fq.num_limbs
@@ -46,62 +47,43 @@ _R_LIMBS = [int(v) for v in Fq.r_limbs]
 
 
 # ---------------------------------------------------------------------------
-# in-kernel field helpers on (L, T) arrays
+# in-kernel field helpers on LISTS of (tile, 128) limb rows (v2 tile layout:
+# shared with ops/pallas_field.py — each limb row is native (8, 128) VREGs)
 # ---------------------------------------------------------------------------
 
-
 def _addm(a, b):
-    """mod-p add of (L, T) row arrays."""
-    out = []
-    carry = jnp.zeros_like(a[0])
-    for k in range(L):
-        v = a[k] + b[k] + carry
-        out.append(v & LIMB_MASK)
-        carry = v >> LIMB_BITS
-    borrow = jnp.zeros_like(a[0])
-    d = []
-    for k in range(L):
-        v = out[k] - jnp.uint32(_P_LIMBS[k]) - borrow
-        d.append(v & LIMB_MASK)
-        borrow = (v >> LIMB_BITS) & 1
-    keep = borrow == 0
-    return jnp.stack([jnp.where(keep, d[k], out[k]) for k in range(L)])
+    return _add_rows(Fq, a, b)
 
 
 def _subm(a, b):
-    out = []
-    borrow = jnp.zeros_like(a[0])
-    for k in range(L):
-        v = a[k] - b[k] - borrow
-        out.append(v & LIMB_MASK)
-        borrow = (v >> LIMB_BITS) & 1
-    under = borrow == 1
-    carry = jnp.zeros_like(a[0])
-    res = []
-    for k in range(L):
-        v = out[k] + jnp.where(under, jnp.uint32(_P_LIMBS[k]), 0) + carry
-        res.append(v & LIMB_MASK)
-        carry = v >> LIMB_BITS
-    return jnp.stack(res)
+    return _sub_rows(Fq, a, b)
 
 
 def _mulm(a, b):
-    return _mont_mul_body(Fq, a, b)
+    return _mul_rows(Fq, a, b)
 
 
 def _is_zero_lanes(a):
-    """(L, T) -> (T,) bool, per-lane all-limbs-zero."""
-    s = jnp.sum(a.astype(jnp.int32), axis=0)  # limbs < 2^16, L terms: exact
+    """list of L limb rows -> per-lane all-limbs-zero bool."""
+    s = a[0].astype(jnp.int32)
+    for k in range(1, L):
+        s = s + a[k].astype(jnp.int32)  # limbs < 2^16, L terms: exact
     return s == 0
 
 
 def _sel(mask, a, b):
-    """per-lane select: mask (T,), a/b (L, T)."""
-    return jnp.where(mask[None, :], a, b)
+    """per-lane select on row lists."""
+    return [jnp.where(mask, a[k], b[k]) for k in range(L)]
+
+
+def _rows(ref):
+    """(L, tile, LANE) ref -> list of L (tile, LANE) rows."""
+    v = ref[:]
+    return [v[i] for i in range(L)]
 
 
 def _ec_add_body(x1, y1, z1, x2, y2, z2):
-    """Full branchless Jacobian add (+fused double) on (L, T) coords."""
+    """Full branchless Jacobian add (+fused double) on limb-row lists."""
     z1z1 = _mulm(z1, z1)
     z2z2 = _mulm(z2, z2)
     u1 = _mulm(x1, z2z2)
@@ -142,10 +124,8 @@ def _ec_add_body(x1, y1, z1, x2, y2, z2):
     use_dbl = jnp.logical_and(both, jnp.logical_and(h_zero, r_zero))
     use_id = jnp.logical_and(both, jnp.logical_and(h_zero, jnp.logical_not(r_zero)))
 
-    one = jnp.stack(
-        [jnp.full_like(x1[0], jnp.uint32(_R_LIMBS[k])) for k in range(L)]
-    )
-    zero = jnp.zeros_like(x1)
+    one = [jnp.full_like(x1[0], jnp.uint32(_R_LIMBS[k])) for k in range(L)]
+    zero = [jnp.zeros_like(x1[0]) for _ in range(L)]
 
     def pick(add_v, dbl_v, idp_v, p_v, q_v):
         out = _sel(use_dbl, dbl_v, add_v)
@@ -162,25 +142,36 @@ def _ec_add_body(x1, y1, z1, x2, y2, z2):
 
 
 def _ec_add_kernel(x1r, y1r, z1r, x2r, y2r, z2r, oxr, oyr, ozr):
-    ox, oy, oz = _ec_add_body(x1r[:], y1r[:], z1r[:], x2r[:], y2r[:], z2r[:])
-    oxr[:] = ox
-    oyr[:] = oy
-    ozr[:] = oz
+    ox, oy, oz = _ec_add_body(
+        _rows(x1r), _rows(y1r), _rows(z1r), _rows(x2r), _rows(y2r), _rows(z2r)
+    )
+    oxr[:] = jnp.stack(ox, axis=0)
+    oyr[:] = jnp.stack(oy, axis=0)
+    ozr[:] = jnp.stack(oz, axis=0)
 
 
 @functools.lru_cache(maxsize=None)
-def _ec_add_call(n: int, tile: int):
-    spec = lambda: pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+def _ec_add_call(n: int):
+    """n lanes (mult of 128): kernel over (L, tile, 128) 3D blocks; the
+    (L, n) <-> (L, n/128, 128) reshape at the call boundary is free
+    (row-major)."""
+    S = n // LANE
+    tile = min(TILE_S, S)
+    spec = lambda: pl.BlockSpec(
+        (L, tile, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
 
     @jax.jit
     def run(x1, y1, z1, x2, y2, z2):
-        return pl.pallas_call(
+        args = [v.reshape(L, S, LANE) for v in (x1, y1, z1, x2, y2, z2)]
+        outs = pl.pallas_call(
             _ec_add_kernel,
-            grid=(n // tile,),
+            grid=(S // tile,),
             in_specs=[spec() for _ in range(6)],
             out_specs=[spec() for _ in range(3)],
-            out_shape=[jax.ShapeDtypeStruct((L, n), jnp.uint32)] * 3,
-        )(x1, y1, z1, x2, y2, z2)
+            out_shape=[jax.ShapeDtypeStruct((L, S, LANE), jnp.uint32)] * 3,
+        )(*args)
+        return [o.reshape(L, n) for o in outs]
 
     return run
 
@@ -189,8 +180,7 @@ def ec_add_lf(p: Dict, q: Dict) -> Dict:
     """Branchless EC add on limbs-first (L, N) point dicts (N mult of 128)."""
     n = p["x"].shape[1]
     if n >= PALLAS_MIN and n % 128 == 0:
-        tile = min(TILE, n)
-        ox, oy, oz = _ec_add_call(n, tile)(
+        ox, oy, oz = _ec_add_call(n)(
             p["x"], p["y"], p["z"], q["x"], q["y"], q["z"]
         )
         return {"x": ox, "y": oy, "z": oz}
@@ -332,25 +322,45 @@ def _horner_step(total: Dict, wt: Dict, c: int) -> Dict:
     return jec.ec_add(total, wt)
 
 
+def _digits_for_window(scal: jnp.ndarray, w: int, c: int) -> jnp.ndarray:
+    """(n, L) canonical 16-bit limbs -> (n,) c-bit digit w (cross-limb)."""
+    lo_bit = c * w
+    lo_limb = lo_bit // LIMB_BITS
+    off = lo_bit % LIMB_BITS
+    val = scal[:, lo_limb] >> jnp.uint32(off)
+    if off + c > LIMB_BITS and lo_limb + 1 < scal.shape[1]:
+        val = val | (scal[:, lo_limb + 1] << jnp.uint32(LIMB_BITS - off))
+    return val & jnp.uint32((1 << c) - 1)
+
+
+def _best_c(n: int, nbits: int = 254) -> int:
+    """Window size minimizing total adds: windows(c) * (2n point-scan +
+    2*2^c bucket-scan)."""
+    best, best_cost = 8, None
+    for c in range(8, 17):
+        windows = -(-nbits // c)
+        cost = windows * (2 * n + 2 * (1 << c))
+        if best_cost is None or cost < best_cost:
+            best, best_cost = c, cost
+    return best
+
+
 def msm_pallas(points_bm: Dict, scalars_mont: jnp.ndarray) -> Dict:
     """Variable-base MSM on TPU: (n,) batch-major Jacobian points dict +
     (n, L) Montgomery scalars -> single Jacobian point dict (coords (L,)).
 
-    16-bit windows == scalar limbs (no digit arithmetic); python window loop
-    (all windows share compiled modules); Horner combine by 16 doublings.
+    c-bit windows (c chosen by the adds-cost model, digits extracted across
+    16-bit limb boundaries); python window loop (all windows share compiled
+    modules); Horner combine by c doublings.
     """
     n = scalars_mont.shape[0]
     assert n & (n - 1) == 0 and n >= PALLAS_MIN
     scal = F.from_mont(Fr, scalars_mont)  # (n, L) canonical 16-bit limbs
-    # window size scales with n: the bucket-table EC scan costs 2*2^c adds
-    # per window, so c=16 only pays off once n dominates it
-    c = 16 if n >= (1 << 15) else 8
-    per_limb = 16 // c
-    num_windows = Fr.num_limbs * per_limb
+    c = _best_c(n)
+    num_windows = -(-254 // c)
     total = None
     for w in range(num_windows - 1, -1, -1):
-        limb = scal[:, w // per_limb]
-        digits = (limb >> jnp.uint32(c * (w % per_limb))) & jnp.uint32((1 << c) - 1)
+        digits = _digits_for_window(scal, w, c)
         wt = _window_total(points_bm, digits, 1 << c)
         total = wt if total is None else _horner_step(total, wt, c)
     return total
