@@ -1,0 +1,416 @@
+"""Batched-affine Pippenger MSM (window-batched halving), TPU-native.
+
+Replaces the double-prefix-scan MSM (ops/pallas_ec.py round-2 stage A) with
+the GPU-style batched-affine bucket accumulation, redesigned for XLA/TPU
+regularity (semantics of /root/reference/plonkish_backend/src/util/
+arithmetic/msm.rs:84-181):
+
+  * all W windows' digits are extracted up front and processed TOGETHER
+    (one (W, n) batch), so every level of the halving tree issues ONE
+    batch inversion for every window at once (16 Fermat inversions total,
+    not 16 per window);
+  * per window the points are sorted by digit (desc). Each level pairs
+    adjacent slots: equal digits -> batched AFFINE add (lambda = num/den
+    with the denominators inverted by a single log-depth batch inversion;
+    ~6 muls/lane vs ~27 for a general Jacobian add), unequal digits ->
+    the left slot is the END of its digit run (sorted order is preserved
+    by halving) and is FLUSHED into its bucket with a conflict-free
+    scatter (<= one flush per digit per level);
+  * bucket tables finish with the standard suffix-scan weighted sum
+    (sum_b b*S_b = sum_v T_v), batched over windows, on the Jacobian
+    pallas combiner; window totals combine by Horner with c doublings.
+
+State is limbs-first (L, lanes) throughout so the elementwise field ops ride
+the tile-aligned Pallas kernels (ops/pallas_field.py v2 layout); on CPU the
+same code falls back to the portable jnp ops, which keeps the algorithm under
+the regular (virtual-device) test suite.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from halo2_lasso_tpu.ops import ec as jec
+from halo2_lasso_tpu.ops import field as F
+from halo2_lasso_tpu.ops.bn254 import Fq, Fr
+from halo2_lasso_tpu.ops.field import LIMB_BITS
+
+L = Fq.num_limbs
+LANE = 128
+_PALLAS_MIN = 256
+
+
+def _on_accel() -> bool:
+    return jax.devices()[0].platform != "cpu"
+
+
+# ---------------------------------------------------------------------------
+# limbs-first elementwise field ops with pallas dispatch
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_mul(n: int):
+    from halo2_lasso_tpu.ops import pallas_field as PF
+
+    mul3 = PF.make_mont_mul(Fq)
+
+    @jax.jit
+    def f(a, b):
+        S = n // LANE
+        return mul3(a.reshape(L, S, LANE), b.reshape(L, S, LANE)).reshape(L, n)
+
+    return f
+
+
+def mul_lf(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(L, X) elementwise Montgomery product: pallas tile kernel on the
+    accelerator, the same limb-row pipeline traced at the XLA level off it
+    (pallas_field._mul_rows works on any row arrays — no transposes)."""
+    n = a.shape[1]
+    if _on_accel() and n % LANE == 0 and n >= _PALLAS_MIN:
+        return _pallas_mul(n)(a, b)
+    from halo2_lasso_tpu.ops.pallas_field import _mul_rows
+
+    return jnp.stack(
+        _mul_rows(Fq, [a[i] for i in range(L)], [b[i] for i in range(L)]), axis=0
+    )
+
+
+def add_lf(a, b):
+    from halo2_lasso_tpu.ops.pallas_field import _add_rows
+
+    return jnp.stack(
+        _add_rows(Fq, [a[i] for i in range(L)], [b[i] for i in range(L)]), axis=0
+    )
+
+
+def sub_lf(a, b):
+    from halo2_lasso_tpu.ops.pallas_field import _sub_rows
+
+    return jnp.stack(
+        _sub_rows(Fq, [a[i] for i in range(L)], [b[i] for i in range(L)]), axis=0
+    )
+
+
+def _iszero_lf(a):
+    """(L, X) -> (X,) bool."""
+    return jnp.sum(a.astype(jnp.int32), axis=0) == 0
+
+
+def _one_lf(n):
+    return jnp.broadcast_to(
+        jnp.asarray(np.asarray(Fq.r_limbs, np.uint32))[:, None], (L, n)
+    )
+
+
+def batch_inv_lf(a: jnp.ndarray) -> jnp.ndarray:
+    """(L, X) batched modular inverse (zeros -> zeros): log-depth prefix /
+    suffix product scans + ONE Fermat inversion of the running total."""
+    n = a.shape[1]
+    zero = _iszero_lf(a)
+    aa = jnp.where(zero[None, :], _one_lf(n), a)
+    prefix = jax.lax.associative_scan(mul_lf, aa, axis=1)
+    suffix = jax.lax.associative_scan(mul_lf, aa, axis=1, reverse=True)
+    total_inv = jnp.transpose(
+        F.inv(Fq, jnp.transpose(prefix[:, -1:], (1, 0))), (1, 0)
+    )
+    pre_exc = jnp.concatenate([_one_lf(1), prefix[:, :-1]], axis=1)
+    suf_exc = jnp.concatenate([suffix[:, 1:], _one_lf(1)], axis=1)
+    inv = mul_lf(mul_lf(pre_exc, suf_exc), jnp.broadcast_to(total_inv, (L, n)))
+    return jnp.where(zero[None, :], jnp.zeros_like(inv), inv)
+
+
+# ---------------------------------------------------------------------------
+# the affine pair/flush level step
+# ---------------------------------------------------------------------------
+
+
+def _affine_add_with_inv(xa, ya, xb, yb, num, inv):
+    """lambda = num*inv; returns (x3, y3)."""
+    lam = mul_lf(num, inv)
+    x3 = sub_lf(sub_lf(mul_lf(lam, lam), xa), xb)
+    y3 = sub_lf(mul_lf(lam, sub_lf(xa, x3)), ya)
+    return x3, y3
+
+
+def _eq_lf(a, b):
+    return _iszero_lf(sub_lf(a, b))
+
+
+def _level_step(ax, ay, inf, dig, bx, by, binf, B, W):
+    """One halving level. ax/ay: (L, m) per flattened (W, m/W) slot array
+    (m = W * mw lanes), dig/inf: (m,). Returns halved state + updated
+    buckets ((L, W*B), (W*B,))."""
+    m = ax.shape[1]
+    half = m // 2
+    # adjacent pairs: slots (2i, 2i+1) — contiguous, window-aligned because
+    # every window's slot count is even until the final lane
+    xa, xb = ax[:, 0::2], ax[:, 1::2]
+    ya, yb = ay[:, 0::2], ay[:, 1::2]
+    ia, ib = inf[0::2], inf[1::2]
+    da, db = dig[0::2], dig[1::2]
+
+    same = da == db
+    a_fin = jnp.logical_not(ia)
+    b_fin = jnp.logical_not(ib)
+    pair_act = jnp.logical_and(same, jnp.logical_and(a_fin, b_fin))
+    x_eq = jnp.logical_and(pair_act, _eq_lf(xa, xb))
+    y_eq = jnp.logical_and(x_eq, _eq_lf(ya, yb))
+    dbl = y_eq
+    cancel = jnp.logical_and(x_eq, jnp.logical_not(y_eq))
+    gen = jnp.logical_and(pair_act, jnp.logical_not(x_eq))
+
+    den_pair = jnp.where(
+        dbl[None, :], add_lf(ya, ya), sub_lf(xb, xa)
+    )
+    den_pair = jnp.where(
+        jnp.logical_or(gen, dbl)[None, :], den_pair, _one_lf(half)
+    )
+    xa2 = mul_lf(xa, xa)
+    num_pair = jnp.where(
+        dbl[None, :],
+        add_lf(add_lf(xa2, xa2), xa2),
+        sub_lf(yb, ya),
+    )
+
+    # flush lane prep: a flushed into bucket da when digits differ
+    flush = jnp.logical_and(jnp.logical_not(same), a_fin)
+    widx = jnp.arange(half, dtype=jnp.uint32) // jnp.uint32(half // W)
+    bslot = jnp.where(flush, widx * jnp.uint32(B) + da, jnp.uint32(W * B))
+    gx = jnp.take(bx, jnp.minimum(bslot, W * B - 1), axis=1)
+    gy = jnp.take(by, jnp.minimum(bslot, W * B - 1), axis=1)
+    ginf = jnp.take(binf, jnp.minimum(bslot, W * B - 1))
+    acc_act = jnp.logical_and(flush, jnp.logical_not(ginf))
+    bx_eq = jnp.logical_and(acc_act, _eq_lf(gx, xa))
+    by_eq = jnp.logical_and(bx_eq, _eq_lf(gy, ya))
+    bdbl = by_eq
+    bcancel = jnp.logical_and(bx_eq, jnp.logical_not(by_eq))
+    bgen = jnp.logical_and(acc_act, jnp.logical_not(bx_eq))
+    den_acc = jnp.where(bdbl[None, :], add_lf(gy, gy), sub_lf(xa, gx))
+    den_acc = jnp.where(
+        jnp.logical_or(bgen, bdbl)[None, :], den_acc, _one_lf(half)
+    )
+    gx2 = mul_lf(gx, gx)
+    num_acc = jnp.where(
+        bdbl[None, :], add_lf(add_lf(gx2, gx2), gx2), sub_lf(ya, gy)
+    )
+
+    # ONE inversion batch for both halves of the level
+    invs = batch_inv_lf(jnp.concatenate([den_pair, den_acc], axis=1))
+    inv_pair, inv_acc = invs[:, :half], invs[:, half:]
+
+    # pair survivors
+    x3, y3 = _affine_add_with_inv(xa, ya, xb, yb, num_pair, inv_pair)
+    comb = jnp.logical_or(gen, dbl)
+    sx = jnp.where(comb[None, :], x3, jnp.where(ia[None, :], xb, xa))
+    sy = jnp.where(comb[None, :], y3, jnp.where(ia[None, :], yb, ya))
+    # survivor when digits differ: b
+    sx = jnp.where(same[None, :], sx, xb)
+    sy = jnp.where(same[None, :], sy, yb)
+    sinf = jnp.where(
+        same,
+        jnp.where(comb, False, jnp.where(cancel, True, jnp.logical_and(ia, ib))),
+        ib,
+    )
+    sdig = db
+
+    # bucket updates: flushed value lands as (bucket + a) or a (bucket empty)
+    nx, ny = _affine_add_with_inv(gx, gy, xa, ya, num_acc, inv_acc)
+    bcomb = jnp.logical_or(bgen, bdbl)
+    ux = jnp.where(bcomb[None, :], nx, xa)
+    uy = jnp.where(bcomb[None, :], ny, ya)
+    uinf = jnp.where(bcomb, False, jnp.where(bcancel, True, ginf))
+    # empty bucket: take a directly (ginf True)
+    ux = jnp.where(ginf[None, :], xa, ux)
+    uy = jnp.where(ginf[None, :], ya, uy)
+    uinf = jnp.where(jnp.logical_and(flush, ginf), False, uinf)
+
+    bx = bx.at[:, bslot].set(ux, mode="drop")
+    by = by.at[:, bslot].set(uy, mode="drop")
+    binf = binf.at[bslot].set(uinf, mode="drop")
+    return sx, sy, sinf, sdig, bx, by, binf
+
+
+def _digits_all(scal: jnp.ndarray, c: int, num_windows: int) -> jnp.ndarray:
+    """(n, L) canonical limbs -> (W, n) c-bit digits."""
+    outs = []
+    for w in range(num_windows):
+        lo_bit = c * w
+        lo_limb = lo_bit // LIMB_BITS
+        off = lo_bit % LIMB_BITS
+        val = scal[:, lo_limb] >> jnp.uint32(off)
+        if off + c > LIMB_BITS and lo_limb + 1 < scal.shape[1]:
+            val = val | (scal[:, lo_limb + 1] << jnp.uint32(LIMB_BITS - off))
+        outs.append(val & jnp.uint32((1 << c) - 1))
+    return jnp.stack(outs, axis=0)
+
+
+def _best_c(n: int, nbits: int = 254) -> int:
+    """Minimize muls: windows * (affine halving ~12 muls * 2n lanes +
+    jacobian bucket scan ~54 muls * 2^c)."""
+    best, best_cost = 8, None
+    for c in range(8, 17):
+        windows = -(-nbits // c)
+        cost = windows * (12 * 2 * n + 54 * (1 << c))
+        if best_cost is None or cost < best_cost:
+            best, best_cost = c, cost
+    return best
+
+
+def _jacobian_bucket_sum(bx, by, binf, W: int, B: int) -> Dict:
+    """(L, W*B) affine buckets -> per-window Jacobian total of
+    sum_b b * S_b, via reverse inclusive scan + tree reduce (batch-major
+    jnp combiner: correct everywhere; pallas combiner handled upstream)."""
+    # batch-major (W, B, L) for the jec combiner
+    x = jnp.transpose(bx.reshape(L, W, B), (1, 2, 0))
+    y = jnp.transpose(by.reshape(L, W, B), (1, 2, 0))
+    fin = jnp.logical_not(binf.reshape(W, B))
+    one = jnp.broadcast_to(jnp.asarray(np.asarray(Fq.r_limbs, np.uint32)), (W, B, L))
+    z = jnp.where(fin[..., None], one, jnp.zeros_like(one))
+    pts = {
+        "x": jnp.where(fin[..., None], x, one),
+        "y": jnp.where(fin[..., None], y, one),
+        "z": z,
+    }
+    # suffix sums T_v: inclusive reverse scan over the bucket axis
+    suf = jax.lax.associative_scan(jec.ec_add, pts, axis=1, reverse=True)
+    # sum_{v>=1} T_v = tree reduce of suf[:, 1:]
+    t = {k: v[:, 1:] for k, v in suf.items()}
+    m = B - 1
+    while m > 1:
+        if m % 2 == 1:
+            idp = jec.identity_point((t["x"].shape[0], 1))
+            t = {k: jnp.concatenate([v, idp[k]], axis=1) for k, v in t.items()}
+            m += 1
+        t = jec.ec_add(
+            {k: v[:, 0::2] for k, v in t.items()},
+            {k: v[:, 1::2] for k, v in t.items()},
+        )
+        m //= 2
+    return {k: v[:, 0] for k, v in t.items()}
+
+
+@functools.lru_cache(maxsize=None)
+def _prologue_fn(c: int, W: int):
+    def f(points_x, points_y, points_z, scalars_mont):
+        scal = F.from_mont(Fr, scalars_mont)
+        zinv = F.batch_inv(Fq, points_z)
+        zi2 = F.mont_mul(Fq, zinv, zinv)
+        ax0 = jnp.transpose(F.mont_mul(Fq, points_x, zi2), (1, 0))  # (L, n)
+        ay0 = jnp.transpose(
+            F.mont_mul(Fq, points_y, F.mont_mul(Fq, zi2, zinv)), (1, 0)
+        )
+        inf0 = F.is_zero(Fq, points_z)
+
+        digits = _digits_all(scal, c, W)  # (W, n)
+        order = jnp.argsort(-digits.astype(jnp.int32), axis=1)  # desc
+        flat = order.reshape(-1)  # indexes into the SHARED point array
+        ax = jnp.take(ax0, flat, axis=1)  # (L, W*n)
+        ay = jnp.take(ay0, flat, axis=1)
+        inf = jnp.take(inf0, flat)
+        dig = jnp.take_along_axis(digits, order, axis=1).reshape(-1)
+        # digit-0 lanes contribute nothing (bucket 0 has weight 0): mark
+        # them infinite so the halving tree never touches them
+        inf = jnp.logical_or(inf, dig == 0)
+        return ax, ay, inf, dig
+
+    return jax.jit(f) if _on_accel() else f
+
+
+@functools.lru_cache(maxsize=None)
+def _epilogue_fn(W: int, B: int, c: int):
+    def f(ax, ay, inf, dig, bx, by, binf):
+        bx, by, binf = _final_flush(ax, ay, inf, dig, bx, by, binf, W, B)
+        totals = _jacobian_bucket_sum(bx, by, binf, W, B)
+        total = {k: v[W - 1] for k, v in totals.items()}
+        for w in range(W - 2, -1, -1):
+            for _ in range(c):
+                total = jec.ec_double(total)
+            total = jec.ec_add(total, {k: v[w] for k, v in totals.items()})
+        return total
+
+    return jax.jit(f) if _on_accel() else f
+
+
+def msm_affine(points_bm: Dict, scalars_mont: jnp.ndarray) -> Dict:
+    """Variable-base MSM: (n,) batch-major Jacobian point dict + (n, L)
+    Montgomery scalars -> single Jacobian point (batch-major coords (L,)).
+    n must be a power of two (padded by callers)."""
+    n = scalars_mont.shape[0]
+    assert n & (n - 1) == 0
+    c = _best_c(n)
+    B = 1 << c
+    W = -(-254 // c)
+
+    ax, ay, inf, dig = _prologue_fn(c, W)(
+        points_bm["x"], points_bm["y"], points_bm["z"], scalars_mont
+    )
+
+    bx = jnp.zeros((L, W * B), jnp.uint32)
+    by = jnp.zeros((L, W * B), jnp.uint32)
+    binf = jnp.ones((W * B,), dtype=bool)
+
+    m = n
+    while m > 1:
+        ax, ay, inf, dig, bx, by, binf = _level_fn(m, W, B)(
+            ax, ay, inf, dig, bx, by, binf
+        )
+        m //= 2
+    return _epilogue_fn(W, B, c)(ax, ay, inf, dig, bx, by, binf)
+
+
+@functools.lru_cache(maxsize=None)
+def _level_fn(m: int, W: int, B: int):
+    # On the accelerator each level is ONE fused module (dispatch latency
+    # through the device tunnel dominates). On CPU the same module —
+    # two log-depth mont_mul scans inlined — costs minutes of XLA compile,
+    # so run the level eagerly there: per-op modules are tiny and reused
+    # across levels/tests.
+    def f(ax, ay, inf, dig, bx, by, binf):
+        return _level_step(ax, ay, inf, dig, bx, by, binf, B, W)
+
+    return jax.jit(f) if _on_accel() else f
+
+
+def _final_flush(ax, ay, inf, dig, bx, by, binf, W, B):
+    """Flush the last survivor of each window into its bucket (general
+    Jacobian add at W lanes: cheap, and avoids affine edge cases)."""
+    one = _one_lf(W)
+    fin = jnp.logical_not(inf)
+    bslot = jnp.where(
+        fin, jnp.arange(W, dtype=jnp.uint32) * jnp.uint32(B) + dig, jnp.uint32(W * B)
+    )
+    safe = jnp.minimum(bslot, W * B - 1)
+    gx = jnp.take(bx, safe, axis=1)
+    gy = jnp.take(by, safe, axis=1)
+    ginf = jnp.take(binf, safe)
+    # batch-major jacobian add of (bucket, survivor)
+    def to_bm(x, y, isinf):
+        o = jnp.transpose(jnp.where(isinf[None, :], one, x), (1, 0))
+        p = jnp.transpose(jnp.where(isinf[None, :], one, y), (1, 0))
+        zz = jnp.where(
+            isinf[:, None],
+            jnp.zeros((W, L), jnp.uint32),
+            jnp.broadcast_to(jnp.asarray(np.asarray(Fq.r_limbs, np.uint32)), (W, L)),
+        )
+        return {"x": o, "y": p, "z": zz}
+
+    res = jec.ec_add(to_bm(gx, gy, ginf), to_bm(ax, ay, inf))
+    rz = res["z"]
+    rinf = F.is_zero(Fq, rz)
+    zinv = F.batch_inv(Fq, rz)
+    zi2 = F.mont_mul(Fq, zinv, zinv)
+    rx = jnp.transpose(F.mont_mul(Fq, res["x"], zi2), (1, 0))
+    ry = jnp.transpose(
+        F.mont_mul(Fq, res["y"], F.mont_mul(Fq, zi2, zinv)), (1, 0)
+    )
+    bx = bx.at[:, bslot].set(rx, mode="drop")
+    by = by.at[:, bslot].set(ry, mode="drop")
+    binf = binf.at[bslot].set(rinf, mode="drop")
+    return bx, by, binf
