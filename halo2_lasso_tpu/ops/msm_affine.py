@@ -68,18 +68,26 @@ def _pallas_mul(n: int):
     return f
 
 
-def mul_lf(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(L, X) elementwise Montgomery product: pallas tile kernel on the
-    accelerator, the same limb-row pipeline traced at the XLA level off it
-    (pallas_field._mul_rows works on any row arrays — no transposes)."""
-    n = a.shape[1]
-    if _on_accel() and n % LANE == 0 and n >= _PALLAS_MIN:
-        return _pallas_mul(n)(a, b)
+def mul_lf_traced(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(L, X) elementwise Montgomery product traced at the XLA level
+    (pallas_field._mul_rows on limb-row slices — no transposes). Used inside
+    the batch-inversion scans: their slice shapes halve every scan level, and
+    a pallas kernel per distinct shape means hundreds of Mosaic compiles per
+    MSM size; one fused XLA module compiles once."""
     from halo2_lasso_tpu.ops.pallas_field import _mul_rows
 
     return jnp.stack(
         _mul_rows(Fq, [a[i] for i in range(L)], [b[i] for i in range(L)]), axis=0
     )
+
+
+def mul_lf(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(L, X) elementwise Montgomery product: pallas tile kernel on the
+    accelerator (full-shape call sites only), XLA-traced rows otherwise."""
+    n = a.shape[1]
+    if _on_accel() and n % LANE == 0 and n >= _PALLAS_MIN:
+        return _pallas_mul(n)(a, b)
+    return mul_lf_traced(a, b)
 
 
 def add_lf(a, b):
@@ -115,8 +123,8 @@ def batch_inv_lf(a: jnp.ndarray) -> jnp.ndarray:
     n = a.shape[1]
     zero = _iszero_lf(a)
     aa = jnp.where(zero[None, :], _one_lf(n), a)
-    prefix = jax.lax.associative_scan(mul_lf, aa, axis=1)
-    suffix = jax.lax.associative_scan(mul_lf, aa, axis=1, reverse=True)
+    prefix = jax.lax.associative_scan(mul_lf_traced, aa, axis=1)
+    suffix = jax.lax.associative_scan(mul_lf_traced, aa, axis=1, reverse=True)
     total_inv = jnp.transpose(
         F.inv(Fq, jnp.transpose(prefix[:, -1:], (1, 0))), (1, 0)
     )

@@ -34,7 +34,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from halo2_lasso_tpu.ops.field import LIMB_BITS, LIMB_MASK, FieldSpec
 
-TILE_S = 8  # sublane-rows per grid step: 8*128 = 1024 lanes/block
+import os as _os
+
+# sublane-rows per grid step (8 -> 8*128 = 1024 lanes/block); overridable
+# for on-chip tile-size sweeps
+TILE_S = int(_os.environ.get("HALO2_LASSO_TPU_TILE_S", "8"))
 LANE = 128
 
 

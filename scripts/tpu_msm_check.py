@@ -76,6 +76,27 @@ def main():
         dt = (time.time() - t0) / iters
         print(f"k={k}: jnp msm    {dt*1e3:.1f} ms -> {n/dt:.3e} points/s")
 
+        # batched-affine MSM: correctness + warm timing
+        from halo2_lasso_tpu.ops import msm_affine
+
+        t0 = time.time()
+        r_aff = msm_affine.msm_affine(pts, scalars)
+        aff_a = ec.jacobian_to_affine({kk: v[None] for kk, v in r_aff.items()})
+        t_first = time.time() - t0
+        ok = aff_a[0][0] == aff_j[0][0] and aff_a[0][1] == aff_j[0][1]
+        print(f"k={k}: affine==jnp: {ok} (first call incl compile {t_first:.1f}s)")
+        if not ok:
+            sys.exit(1)
+        for _ in range(2):
+            r = msm_affine.msm_affine(pts, scalars)
+            jax.block_until_ready(r["x"])
+        t0 = time.time()
+        for _ in range(iters):
+            r = msm_affine.msm_affine(pts, scalars)
+            jax.block_until_ready(r["x"])
+        dt = (time.time() - t0) / iters
+        print(f"k={k}: msm_affine {dt*1e3:.1f} ms -> {n/dt:.3e} points/s")
+
 
 if __name__ == "__main__":
     main()
