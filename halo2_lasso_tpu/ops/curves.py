@@ -74,3 +74,41 @@ TWO_CHAIN = {
 def on_curve(spec: CurveSpec, x: int, y: int) -> bool:
     p = spec.base.modulus
     return (y * y - x * x * x - spec.b) % p == 0
+
+
+# ---------------------------------------------------------------------------
+# host-side affine arithmetic over any catalogued a=0 curve (python ints;
+# None or (0, 0) = identity). Used by verifiers for the handful of
+# commitment-point combinations per proof — device MSMs handle the bulk.
+# ---------------------------------------------------------------------------
+
+
+def host_add(curve: CurveSpec, p, q):
+    m = curve.base.modulus
+    if p is None or p == (0, 0):
+        return q
+    if q is None or q == (0, 0):
+        return p
+    x1, y1 = p
+    x2, y2 = q
+    if x1 == x2:
+        if (y1 + y2) % m == 0:
+            return (0, 0)
+        lam = 3 * x1 * x1 * pow(2 * y1, -1, m) % m
+    else:
+        lam = (y2 - y1) * pow(x2 - x1, -1, m) % m
+    x3 = (lam * lam - x1 - x2) % m
+    y3 = (lam * (x1 - x3) - y1) % m
+    return (x3, y3)
+
+
+def host_mul(curve: CurveSpec, p, k: int):
+    k = k % curve.scalar.modulus
+    acc = (0, 0)
+    add = p
+    while k:
+        if k & 1:
+            acc = host_add(curve, acc, add)
+        add = host_add(curve, add, add)
+        k >>= 1
+    return acc

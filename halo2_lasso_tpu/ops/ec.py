@@ -40,28 +40,31 @@ from halo2_lasso_tpu.ops.field import FieldSpec
 # A Jacobian point batch is a dict {"x","y","z"} of (..., L) u32 mont arrays.
 
 
-def identity_point(shape=()) -> dict:
-    L = Fq.num_limbs
+def identity_point(shape=(), spec: FieldSpec = None) -> dict:
+    spec = spec or Fq
+    L = spec.num_limbs
     zero = jnp.zeros(shape + (L,), dtype=jnp.uint32)
-    one = jnp.broadcast_to(Fq.one, shape + (L,))
+    one = jnp.broadcast_to(spec.one, shape + (L,))
     return {"x": one, "y": one, "z": zero}
 
 
-def affine_to_jacobian(pts_xy: np.ndarray) -> dict:
+def affine_to_jacobian(pts_xy: np.ndarray, spec: FieldSpec = None) -> dict:
     """host (..., 2) object ints (canonical affine; (0,0) = identity) -> device dict."""
+    spec = spec or Fq
     pts_xy = np.asarray(pts_xy, dtype=object)
     xs = pts_xy[..., 0]
     ys = pts_xy[..., 1]
     is_id = np.logical_and(xs == 0, ys == 0)
-    x = Fq.encode(np.where(is_id, 1, xs))
-    y = Fq.encode(np.where(is_id, 1, ys))
-    z = Fq.encode(np.where(is_id, 0, 1))
+    x = spec.encode(np.where(is_id, 1, xs))
+    y = spec.encode(np.where(is_id, 1, ys))
+    z = spec.encode(np.where(is_id, 0, 1))
     return {"x": jnp.asarray(x), "y": jnp.asarray(y), "z": jnp.asarray(z)}
 
 
-def jacobian_to_affine(pt: dict) -> np.ndarray:
+def jacobian_to_affine(pt: dict, spec: FieldSpec = None) -> np.ndarray:
     """device dict -> host (..., 2) object ints; identity -> (0, 0).
     Batch padded to a power of two (>= 16) for compile reuse."""
+    spec = spec or Fq
     z = pt["z"]
     batch = z.shape[:-1]
     flat = {k: v.reshape((-1, v.shape[-1])) for k, v in pt.items()}
@@ -72,23 +75,23 @@ def jacobian_to_affine(pt: dict) -> np.ndarray:
             k: jnp.concatenate([v, jnp.zeros((target - n, v.shape[1]), jnp.uint32)])
             for k, v in flat.items()
         }
-    ax, ay = _to_affine_jit(flat)
-    xs = Fq.decode(np.asarray(ax))[:n]
-    ys = Fq.decode(np.asarray(ay))[:n]
-    zzero = np.asarray(F.is_zero(Fq, flat["z"]))[:n]
+    ax, ay = _to_affine_jit(flat, spec)
+    xs = spec.decode(np.asarray(ax))[:n]
+    ys = spec.decode(np.asarray(ay))[:n]
+    zzero = np.asarray(F.is_zero(spec, flat["z"]))[:n]
     out = np.empty(xs.shape + (2,), dtype=object)
     out[..., 0] = np.where(zzero, 0, xs)
     out[..., 1] = np.where(zzero, 0, ys)
     return out.reshape(batch + (2,))
 
 
-@jax.jit
-def _to_affine_jit(flat: dict):
-    zinv = F.batch_inv(Fq, flat["z"])
-    zinv2 = F.mont_mul(Fq, zinv, zinv)
-    zinv3 = F.mont_mul(Fq, zinv2, zinv)
-    ax = F.mont_mul(Fq, flat["x"], zinv2)
-    ay = F.mont_mul(Fq, flat["y"], zinv3)
+@functools.partial(jax.jit, static_argnums=(1,))
+def _to_affine_jit(flat: dict, spec: FieldSpec = Fq):
+    zinv = F.batch_inv(spec, flat["z"])
+    zinv2 = F.mont_mul(spec, zinv, zinv)
+    zinv3 = F.mont_mul(spec, zinv2, zinv)
+    ax = F.mont_mul(spec, flat["x"], zinv2)
+    ay = F.mont_mul(spec, flat["y"], zinv3)
     return ax, ay
 
 
@@ -108,11 +111,11 @@ def _mul_stack(s, pairs):
     return [out[i] for i in range(len(pairs))]
 
 
-def ec_double(p: dict) -> dict:
+def ec_double(p: dict, spec: FieldSpec = None) -> dict:
     """Jacobian doubling, a=0 (dbl-2009-l), with independent products stacked
     per dependency level (4 mont_mul calls). Identity is handled naturally
     (z=0)."""
-    s = Fq
+    s = spec or Fq
     X1, Y1, Z1 = p["x"], p["y"], p["z"]
     A, B, Z3h = _mul_stack(s, [(X1, X1), (Y1, Y1), (F.add(s, Y1, Y1), Z1)])
     E = F.add(s, F.add(s, A, A), A)  # 3A
@@ -128,11 +131,11 @@ def ec_double(p: dict) -> dict:
     return {"x": X3, "y": Y3, "z": Z3h}
 
 
-def ec_add(p: dict, q: dict) -> dict:
+def ec_add(p: dict, q: dict, spec: FieldSpec = None) -> dict:
     """Branchless general Jacobian addition (add-2007-bl) with full special-
     case handling (p=O, q=O, p==q double, p==-q identity), products stacked
     per dependency level (6 mont_mul calls incl. the fused double)."""
-    s = Fq
+    s = spec or Fq
     X1, X2 = jnp.broadcast_arrays(p["x"], q["x"])
     Y1, Y2 = jnp.broadcast_arrays(p["y"], q["y"])
     Z1, Z2 = jnp.broadcast_arrays(p["z"], q["z"])
@@ -187,7 +190,7 @@ def ec_add(p: dict, q: dict) -> dict:
     use_double = jnp.logical_and(both, jnp.logical_and(h_zero, r_zero))
     use_identity = jnp.logical_and(both, jnp.logical_and(h_zero, jnp.logical_not(r_zero)))
 
-    idp = identity_point(Z1.shape[:-1])
+    idp = identity_point(Z1.shape[:-1], s)
     out = {}
     for k in ("x", "y", "z"):
         v = added[k]
@@ -200,8 +203,8 @@ def ec_add(p: dict, q: dict) -> dict:
     return out
 
 
-def ec_neg(p: dict) -> dict:
-    return {"x": p["x"], "y": F.neg(Fq, p["y"]), "z": p["z"]}
+def ec_neg(p: dict, spec: FieldSpec = None) -> dict:
+    return {"x": p["x"], "y": F.neg(spec or Fq, p["y"]), "z": p["z"]}
 
 
 def ec_select(cond, p: dict, q: dict) -> dict:
@@ -209,17 +212,18 @@ def ec_select(cond, p: dict, q: dict) -> dict:
     return {k: F.select(cond, p[k], q[k]) for k in ("x", "y", "z")}
 
 
-def scalar_mul_bits(p: dict, bits: jnp.ndarray) -> dict:
+def scalar_mul_bits(p: dict, bits: jnp.ndarray, spec: FieldSpec = None) -> dict:
     """Per-point scalar mult: bits (..., nbits) u32 in {0,1} (little-endian),
     batch-aligned with p. Double-and-add from the top bit."""
+    spec = spec or Fq
     nbits = bits.shape[-1]
 
     def body(i, acc):
-        acc = ec_double(acc)
+        acc = ec_double(acc, spec)
         bit = bits[..., nbits - 1 - i]
-        return ec_select(bit == 1, ec_add(acc, p), acc)
+        return ec_select(bit == 1, ec_add(acc, p, spec), acc)
 
-    acc = identity_point(p["z"].shape[:-1])
+    acc = identity_point(p["z"].shape[:-1], spec)
     return jax.lax.fori_loop(0, nbits, body, acc)
 
 
@@ -231,17 +235,18 @@ def scalars_to_bits(scalars_canonical: jnp.ndarray, nbits: int) -> jnp.ndarray:
     return bits.reshape(bits.shape[:-2] + (-1,))[..., :nbits]
 
 
-def tree_reduce_add(pts: dict) -> dict:
+def tree_reduce_add(pts: dict, spec: FieldSpec = None) -> dict:
     """Reduce (n, ...) point batch to a single point with a pairwise add tree."""
+    spec = spec or Fq
     n = pts["x"].shape[0]
     while n > 1:
         if n % 2 == 1:
-            idp = identity_point((1,) + pts["x"].shape[1:-1])
+            idp = identity_point((1,) + pts["x"].shape[1:-1], spec)
             pts = {k: jnp.concatenate([v, idp[k]], axis=0) for k, v in pts.items()}
             n += 1
         lo = {k: v[0::2] for k, v in pts.items()}
         hi = {k: v[1::2] for k, v in pts.items()}
-        pts = ec_add(lo, hi)
+        pts = ec_add(lo, hi, spec)
         n = pts["x"].shape[0]
     return {k: v[0] for k, v in pts.items()}
 
@@ -265,19 +270,22 @@ def _window_bits(n: int) -> int:
     return 8
 
 
-def _tree_reduce_axis1(pts: dict) -> dict:
+def _tree_reduce_axis1(pts: dict, spec: FieldSpec = None) -> dict:
     """Reduce a (B, n) point batch over axis 1 (n a power of two)."""
+    spec = spec or Fq
     n = pts["x"].shape[1]
     while n > 1:
         lo = {k: v[:, 0::2] for k, v in pts.items()}
         hi = {k: v[:, 1::2] for k, v in pts.items()}
-        pts = ec_add(lo, hi)
+        pts = ec_add(lo, hi, spec)
         n = pts["x"].shape[1]
     return {k: v[:, 0] for k, v in pts.items()}
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _scalar_mul_lanes(points: dict, scalars_canonical: jnp.ndarray, nbits: int) -> dict:
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _scalar_mul_lanes(
+    points: dict, scalars_canonical: jnp.ndarray, nbits: int, spec: FieldSpec = Fq
+) -> dict:
     """(M,) points x (M, L) canonical scalars -> (M,) per-lane s_i * P_i.
 
     One flat lane axis on purpose: every small MSM (any B x n batch) is
@@ -286,11 +294,11 @@ def _scalar_mul_lanes(points: dict, scalars_canonical: jnp.ndarray, nbits: int) 
     shape churn, not runtime, is what made small MSMs slow.
     """
     bits = scalars_to_bits(scalars_canonical, nbits)
-    return scalar_mul_bits(points, bits)
+    return scalar_mul_bits(points, bits, spec)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _row_sum(pts_flat: dict, B: int, n: int) -> dict:
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _row_sum(pts_flat: dict, B: int, n: int, spec: FieldSpec = Fq) -> dict:
     """(B*n,) flat point batch -> (B,) row sums.
 
     Sequential fori accumulation (one ec_add body traced per B) beats a
@@ -299,13 +307,20 @@ def _row_sum(pts_flat: dict, B: int, n: int) -> dict:
     pts = {k: v.reshape((B, n) + v.shape[1:]) for k, v in pts_flat.items()}
 
     def body(i, acc):
-        return ec_add(acc, {k: v[:, i] for k, v in pts.items()})
+        return ec_add(acc, {k: v[:, i] for k, v in pts.items()}, spec)
 
-    return jax.lax.fori_loop(0, n, body, identity_point((B,)))
+    return jax.lax.fori_loop(0, n, body, identity_point((B,), spec))
 
 
-def _msm_small(points: dict, scalars_canonical: jnp.ndarray) -> dict:
+def _msm_small(
+    points: dict,
+    scalars_canonical: jnp.ndarray,
+    spec: FieldSpec = None,
+    nbits: int = None,
+) -> dict:
     """points: (n,) dict; scalars: (B, n, L) canonical limbs -> (B,) points."""
+    spec = spec or Fq
+    nbits = nbits or Fr.num_bits
     B, n, L = scalars_canonical.shape
     Bp = 1 << (B - 1).bit_length() if B > 1 else 1  # canonical row counts
     if Bp != B:
@@ -320,13 +335,13 @@ def _msm_small(points: dict, scalars_canonical: jnp.ndarray) -> dict:
     scal_flat = scalars_canonical.reshape(Bp * n, L)
     if M != Bp * n:
         pad = M - Bp * n
-        idp = identity_point((pad,))
+        idp = identity_point((pad,), spec)
         pts_flat = {k: jnp.concatenate([v, idp[k]]) for k, v in pts_flat.items()}
         scal_flat = jnp.concatenate([scal_flat, jnp.zeros((pad, L), jnp.uint32)])
-    per_lane = _scalar_mul_lanes(pts_flat, scal_flat, Fr.num_bits)
+    per_lane = _scalar_mul_lanes(pts_flat, scal_flat, nbits, spec)
     if M != Bp * n:
         per_lane = {k: v[: Bp * n] for k, v in per_lane.items()}
-    out = _row_sum(per_lane, Bp, n)
+    out = _row_sum(per_lane, Bp, n, spec)
     return {k: v[:B] for k, v in out.items()}
 
 
@@ -392,12 +407,14 @@ def _msm_impl(points: dict, scalars_canonical: jnp.ndarray, c: int) -> dict:
     return jax.lax.fori_loop(0, num_windows, body, identity_point(()))
 
 
-def _pad_msm_inputs(points: dict, scalars_mont: jnp.ndarray, min_n: int = 16):
+def _pad_msm_inputs(
+    points: dict, scalars_mont: jnp.ndarray, min_n: int = 16, spec: FieldSpec = None
+):
     n = scalars_mont.shape[0]
     target = max(min_n, 1 << (n - 1).bit_length()) if n > 1 else min_n
     if target != n:
         pad = target - n
-        idp = identity_point((pad,))
+        idp = identity_point((pad,), spec or Fq)
         points = {k: jnp.concatenate([v, idp[k]]) for k, v in points.items()}
         scalars_mont = jnp.concatenate(
             [scalars_mont, jnp.zeros((pad, scalars_mont.shape[1]), jnp.uint32)]
@@ -405,17 +422,25 @@ def _pad_msm_inputs(points: dict, scalars_mont: jnp.ndarray, min_n: int = 16):
     return points, scalars_mont
 
 
-def variable_base_msm(points: dict, scalars_mont: jnp.ndarray) -> dict:
+def variable_base_msm(
+    points: dict,
+    scalars_mont: jnp.ndarray,
+    base: FieldSpec = None,
+    scalar: FieldSpec = None,
+) -> dict:
     """MSM over (n,) points with (n, L) Montgomery scalars. Returns a single
     Jacobian point (device). Semantics of msm.rs:84 variable_base_msm.
+    `base`/`scalar` select the curve (default BN254 G1; grumpkin = Fr/Fq).
 
     Inputs are padded (identity points / zero scalars) to the next power of
     two (>= 16) so the expensive scan-kernel compiles are shared across the
     many MSM sizes a prover emits (quotients of every size, commits, ...).
     """
-    points, scalars_mont = _pad_msm_inputs(points, scalars_mont)
+    base = base or Fq
+    scalar = scalar or Fr
+    points, scalars_mont = _pad_msm_inputs(points, scalars_mont, spec=base)
     n = scalars_mont.shape[0]
-    mesh = _active_mesh()
+    mesh = _active_mesh() if base is Fq else None
     if mesh is not None and n >= 2 * mesh.size and n > SMALL_MSM_MAX:
         # shard the point set over the mesh: per-shard Pippenger totals,
         # all_gather (3 coords each), local tree add (parallel/sharding.py)
@@ -425,15 +450,19 @@ def variable_base_msm(points: dict, scalars_mont: jnp.ndarray) -> dict:
         scal_sh = shd.shard_evals(mesh, scalars_mont)
         fn = shd.sharded_msm_cached(mesh, _window_bits(n // mesh.size))
         return fn(pts_sh, scal_sh)
-    if n > SMALL_MSM_MAX and _pallas_msm_enabled():
-        from halo2_lasso_tpu.ops import pallas_ec
+    if n > SMALL_MSM_MAX:
+        # batched-affine halving MSM (ops/msm_affine.py), BOTH platforms:
+        # fewer field muls (~6/add vs ~27 for general Jacobian), one fused
+        # module per tree level on the accelerator, and eager per-op modules
+        # on CPU — which also sidesteps this jaxlib's segfault compiling the
+        # giant single-module scan of the legacy _msm_impl at 2^c buckets
+        # (kept below only for comparison benches / small paths).
+        from halo2_lasso_tpu.ops import msm_affine
 
-        return pallas_ec.msm_pallas(points, scalars_mont)
-    scal = F.from_mont(Fr, scalars_mont)
-    if n <= SMALL_MSM_MAX:
-        out = _msm_small(points, scal[None])
-        return {k: v[0] for k, v in out.items()}
-    return _msm_impl(points, scal, _window_bits(n))
+        return msm_affine.msm_affine(points, scalars_mont, base=base, scalar=scalar)
+    scal = F.from_mont(scalar, scalars_mont)
+    out = _msm_small(points, scal[None], base, scalar.num_bits)
+    return {k: v[0] for k, v in out.items()}
 
 
 def _active_mesh():
@@ -450,17 +479,24 @@ def _pallas_msm_enabled() -> bool:
     return jax.devices()[0].platform != "cpu"
 
 
-def batch_msm(points: dict, scalars_mont: jnp.ndarray) -> np.ndarray:
+def batch_msm(
+    points: dict,
+    scalars_mont: jnp.ndarray,
+    base: FieldSpec = None,
+    scalar: FieldSpec = None,
+) -> np.ndarray:
     """B MSMs sharing one point set: scalars (B, n, L) Montgomery ->
     host (B, 2) affine object ints. Small sizes run as ONE vectorized
     double-and-add over all B*n lanes (the batch_commit hot path)."""
+    base = base or Fq
+    scalar = scalar or Fr
     B, n = scalars_mont.shape[:2]
     if B == 0:
         return np.empty((0, 2), dtype=object)
     target = max(16, 1 << (n - 1).bit_length()) if n > 1 else 16
     if target != n:
         pad = target - n
-        idp = identity_point((pad,))
+        idp = identity_point((pad,), base)
         points = {k: jnp.concatenate([v, idp[k]]) for k, v in points.items()}
         scalars_mont = jnp.concatenate(
             [
@@ -470,17 +506,24 @@ def batch_msm(points: dict, scalars_mont: jnp.ndarray) -> np.ndarray:
             axis=1,
         )
     if target <= SMALL_MSM_MAX:
-        scal = F.from_mont(Fr, scalars_mont)
-        res = _msm_small(points, scal)
-        return jacobian_to_affine(res)
-    outs = [variable_base_msm(points, scalars_mont[i]) for i in range(B)]
+        scal = F.from_mont(scalar, scalars_mont)
+        res = _msm_small(points, scal, base, scalar.num_bits)
+        return jacobian_to_affine(res, base)
+    outs = [
+        variable_base_msm(points, scalars_mont[i], base, scalar) for i in range(B)
+    ]
     stacked = {k: jnp.stack([o[k] for o in outs]) for k in ("x", "y", "z")}
-    return jacobian_to_affine(stacked)
+    return jacobian_to_affine(stacked, base)
 
 
-def msm_to_affine_int(points: dict, scalars_mont: jnp.ndarray) -> Tuple[int, int]:
-    res = variable_base_msm(points, scalars_mont)
-    out = jacobian_to_affine({k: v[None] for k, v in res.items()})
+def msm_to_affine_int(
+    points: dict,
+    scalars_mont: jnp.ndarray,
+    base: FieldSpec = None,
+    scalar: FieldSpec = None,
+) -> Tuple[int, int]:
+    res = variable_base_msm(points, scalars_mont, base, scalar)
+    out = jacobian_to_affine({k: v[None] for k, v in res.items()}, base or Fq)
     return (int(out[0, 0]), int(out[0, 1]))
 
 
@@ -489,16 +532,28 @@ def msm_to_affine_int(points: dict, scalars_mont: jnp.ndarray) -> Tuple[int, int
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _fixed_base_msm_impl(base: dict, scalars_mont: jnp.ndarray, nbits: int) -> dict:
-    scal = F.from_mont(Fr, scalars_mont)
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _fixed_base_msm_impl(
+    base: dict,
+    scalars_mont: jnp.ndarray,
+    nbits: int,
+    bspec: FieldSpec = Fq,
+    sspec: FieldSpec = Fr,
+) -> dict:
+    scal = F.from_mont(sspec, scalars_mont)
     bits = scalars_to_bits(scal, nbits)
     n = scal.shape[0]
     base_b = {k: jnp.broadcast_to(v, (n,) + v.shape) for k, v in base.items()}
-    return scalar_mul_bits(base_b, bits)
+    return scalar_mul_bits(base_b, bits, bspec)
 
 
-def fixed_base_msm(base: dict, scalars_mont: jnp.ndarray, nbits: int = 256) -> dict:
+def fixed_base_msm(
+    base: dict,
+    scalars_mont: jnp.ndarray,
+    nbits: int = 256,
+    bspec: FieldSpec = None,
+    sspec: FieldSpec = None,
+) -> dict:
     """[s_i] * base for each scalar; base is a single point dict, scalars (n, L)
     mont. Returns (n,) point batch. Semantics of msm.rs:67 fixed_base_msm.
     Scalar count is padded to a power of two (>= 64) for compile reuse."""
@@ -508,10 +563,18 @@ def fixed_base_msm(base: dict, scalars_mont: jnp.ndarray, nbits: int = 256) -> d
         scalars_mont = jnp.concatenate(
             [scalars_mont, jnp.zeros((target - n, scalars_mont.shape[1]), jnp.uint32)]
         )
-    out = _fixed_base_msm_impl(base, scalars_mont, nbits)
+    out = _fixed_base_msm_impl(base, scalars_mont, nbits, bspec or Fq, sspec or Fr)
     return {k: v[:n] for k, v in out.items()}
 
 
 def g1_generator() -> dict:
     pt = affine_to_jacobian(np.array([list(G1_GEN)], dtype=object))
+    return {k: v[0] for k, v in pt.items()}
+
+
+def curve_generator(curve) -> dict:
+    """Generator of a CurveSpec (ops/curves.py) as a device point dict."""
+    pt = affine_to_jacobian(
+        np.array([list(curve.generator)], dtype=object), curve.base
+    )
     return {k: v[0] for k, v in pt.items()}

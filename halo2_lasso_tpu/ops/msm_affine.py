@@ -55,10 +55,10 @@ def _on_accel() -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def _pallas_mul(n: int):
+def _pallas_mul(n: int, spec=Fq):
     from halo2_lasso_tpu.ops import pallas_field as PF
 
-    mul3 = PF.make_mont_mul(Fq)
+    mul3 = PF.make_mont_mul(spec)
 
     @jax.jit
     def f(a, b):
@@ -68,7 +68,7 @@ def _pallas_mul(n: int):
     return f
 
 
-def mul_lf_traced(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def mul_lf_traced(a: jnp.ndarray, b: jnp.ndarray, spec=Fq) -> jnp.ndarray:
     """(L, X) elementwise Montgomery product traced at the XLA level
     (pallas_field._mul_rows on limb-row slices — no transposes). Used inside
     the batch-inversion scans: their slice shapes halve every scan level, and
@@ -77,32 +77,32 @@ def mul_lf_traced(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     from halo2_lasso_tpu.ops.pallas_field import _mul_rows
 
     return jnp.stack(
-        _mul_rows(Fq, [a[i] for i in range(L)], [b[i] for i in range(L)]), axis=0
+        _mul_rows(spec, [a[i] for i in range(L)], [b[i] for i in range(L)]), axis=0
     )
 
 
-def mul_lf(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def mul_lf(a: jnp.ndarray, b: jnp.ndarray, spec=Fq) -> jnp.ndarray:
     """(L, X) elementwise Montgomery product: pallas tile kernel on the
     accelerator (full-shape call sites only), XLA-traced rows otherwise."""
     n = a.shape[1]
     if _on_accel() and n % LANE == 0 and n >= _PALLAS_MIN:
-        return _pallas_mul(n)(a, b)
-    return mul_lf_traced(a, b)
+        return _pallas_mul(n, spec)(a, b)
+    return mul_lf_traced(a, b, spec)
 
 
-def add_lf(a, b):
+def add_lf(a, b, spec=Fq):
     from halo2_lasso_tpu.ops.pallas_field import _add_rows
 
     return jnp.stack(
-        _add_rows(Fq, [a[i] for i in range(L)], [b[i] for i in range(L)]), axis=0
+        _add_rows(spec, [a[i] for i in range(L)], [b[i] for i in range(L)]), axis=0
     )
 
 
-def sub_lf(a, b):
+def sub_lf(a, b, spec=Fq):
     from halo2_lasso_tpu.ops.pallas_field import _sub_rows
 
     return jnp.stack(
-        _sub_rows(Fq, [a[i] for i in range(L)], [b[i] for i in range(L)]), axis=0
+        _sub_rows(spec, [a[i] for i in range(L)], [b[i] for i in range(L)]), axis=0
     )
 
 
@@ -111,27 +111,65 @@ def _iszero_lf(a):
     return jnp.sum(a.astype(jnp.int32), axis=0) == 0
 
 
-def _one_lf(n):
+def _one_lf(n, spec=Fq):
     return jnp.broadcast_to(
-        jnp.asarray(np.asarray(Fq.r_limbs, np.uint32))[:, None], (L, n)
+        jnp.asarray(np.asarray(spec.r_limbs, np.uint32))[:, None], (L, n)
     )
 
 
-def batch_inv_lf(a: jnp.ndarray) -> jnp.ndarray:
-    """(L, X) batched modular inverse (zeros -> zeros): log-depth prefix /
-    suffix product scans + ONE Fermat inversion of the running total."""
+def batch_inv_lf(a: jnp.ndarray, spec=Fq) -> jnp.ndarray:
+    """(L, X) batched modular inverse (zeros -> zeros).
+
+    Accelerator: log-depth prefix/suffix product scans + ONE Fermat
+    inversion (the scans fuse into the level module). CPU: the sequential
+    Montgomery trick under lax.scan — a tiny jitted module per shape
+    (work-optimal 3 muls/element; the eager log-depth scans otherwise
+    create hundreds of per-slice-shape executables, which this jaxlib's
+    long-session compile instability cannot survive)."""
     n = a.shape[1]
     zero = _iszero_lf(a)
-    aa = jnp.where(zero[None, :], _one_lf(n), a)
-    prefix = jax.lax.associative_scan(mul_lf_traced, aa, axis=1)
-    suffix = jax.lax.associative_scan(mul_lf_traced, aa, axis=1, reverse=True)
+    aa = jnp.where(zero[None, :], _one_lf(n, spec), a)
+    if not _on_accel():
+        inv = _batch_inv_seq(spec)(aa)
+        return jnp.where(zero[None, :], jnp.zeros_like(inv), inv)
+    mulc = functools.partial(mul_lf_traced, spec=spec)
+    prefix = jax.lax.associative_scan(mulc, aa, axis=1)
+    suffix = jax.lax.associative_scan(mulc, aa, axis=1, reverse=True)
     total_inv = jnp.transpose(
-        F.inv(Fq, jnp.transpose(prefix[:, -1:], (1, 0))), (1, 0)
+        F.inv(spec, jnp.transpose(prefix[:, -1:], (1, 0))), (1, 0)
     )
-    pre_exc = jnp.concatenate([_one_lf(1), prefix[:, :-1]], axis=1)
-    suf_exc = jnp.concatenate([suffix[:, 1:], _one_lf(1)], axis=1)
-    inv = mul_lf(mul_lf(pre_exc, suf_exc), jnp.broadcast_to(total_inv, (L, n)))
+    pre_exc = jnp.concatenate([_one_lf(1, spec), prefix[:, :-1]], axis=1)
+    suf_exc = jnp.concatenate([suffix[:, 1:], _one_lf(1, spec)], axis=1)
+    inv = mul_lf(
+        mul_lf(pre_exc, suf_exc, spec), jnp.broadcast_to(total_inv, (L, n)), spec
+    )
     return jnp.where(zero[None, :], jnp.zeros_like(inv), inv)
+
+
+@functools.lru_cache(maxsize=None)
+def _batch_inv_seq(spec):
+    @jax.jit
+    def f(aa):  # (L, X), no zeros
+        aT = jnp.transpose(aa, (1, 0))  # (X, L)
+        one = jnp.asarray(np.asarray(spec.r_limbs, np.uint32))
+
+        def fwd(carry, x):
+            new = F.mont_mul(spec, carry[None], x[None])[0]
+            return new, carry  # emit EXCLUSIVE prefix product
+
+        total, pre_exc = jax.lax.scan(fwd, one, aT)
+        tinv = F.inv(spec, total[None])[0]
+
+        def bwd(carry, xs):
+            x, pexc = xs
+            inv_i = F.mont_mul(spec, carry[None], pexc[None])[0]
+            carry2 = F.mont_mul(spec, carry[None], x[None])[0]
+            return carry2, inv_i
+
+        _, invs = jax.lax.scan(bwd, tinv, (aT, pre_exc), reverse=True)
+        return jnp.transpose(invs, (1, 0))
+
+    return f
 
 
 # ---------------------------------------------------------------------------
@@ -139,19 +177,19 @@ def batch_inv_lf(a: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _affine_add_with_inv(xa, ya, xb, yb, num, inv):
+def _affine_add_with_inv(xa, ya, xb, yb, num, inv, spec=Fq):
     """lambda = num*inv; returns (x3, y3)."""
-    lam = mul_lf(num, inv)
-    x3 = sub_lf(sub_lf(mul_lf(lam, lam), xa), xb)
-    y3 = sub_lf(mul_lf(lam, sub_lf(xa, x3)), ya)
+    lam = mul_lf(num, inv, spec)
+    x3 = sub_lf(sub_lf(mul_lf(lam, lam, spec), xa, spec), xb, spec)
+    y3 = sub_lf(mul_lf(lam, sub_lf(xa, x3, spec), spec), ya, spec)
     return x3, y3
 
 
-def _eq_lf(a, b):
-    return _iszero_lf(sub_lf(a, b))
+def _eq_lf(a, b, spec=Fq):
+    return _iszero_lf(sub_lf(a, b, spec))
 
 
-def _level_step(ax, ay, inf, dig, bx, by, binf, B, W):
+def _level_step(ax, ay, inf, dig, bx, by, binf, B, W, spec=Fq):
     """One halving level. ax/ay: (L, m) per flattened (W, m/W) slot array
     (m = W * mw lanes), dig/inf: (m,). Returns halved state + updated
     buckets ((L, W*B), (W*B,))."""
@@ -168,23 +206,23 @@ def _level_step(ax, ay, inf, dig, bx, by, binf, B, W):
     a_fin = jnp.logical_not(ia)
     b_fin = jnp.logical_not(ib)
     pair_act = jnp.logical_and(same, jnp.logical_and(a_fin, b_fin))
-    x_eq = jnp.logical_and(pair_act, _eq_lf(xa, xb))
-    y_eq = jnp.logical_and(x_eq, _eq_lf(ya, yb))
+    x_eq = jnp.logical_and(pair_act, _eq_lf(xa, xb, spec))
+    y_eq = jnp.logical_and(x_eq, _eq_lf(ya, yb, spec))
     dbl = y_eq
     cancel = jnp.logical_and(x_eq, jnp.logical_not(y_eq))
     gen = jnp.logical_and(pair_act, jnp.logical_not(x_eq))
 
     den_pair = jnp.where(
-        dbl[None, :], add_lf(ya, ya), sub_lf(xb, xa)
+        dbl[None, :], add_lf(ya, ya, spec), sub_lf(xb, xa, spec)
     )
     den_pair = jnp.where(
-        jnp.logical_or(gen, dbl)[None, :], den_pair, _one_lf(half)
+        jnp.logical_or(gen, dbl)[None, :], den_pair, _one_lf(half, spec)
     )
-    xa2 = mul_lf(xa, xa)
+    xa2 = mul_lf(xa, xa, spec)
     num_pair = jnp.where(
         dbl[None, :],
-        add_lf(add_lf(xa2, xa2), xa2),
-        sub_lf(yb, ya),
+        add_lf(add_lf(xa2, xa2, spec), xa2, spec),
+        sub_lf(yb, ya, spec),
     )
 
     # flush lane prep: a flushed into bucket da when digits differ
@@ -195,26 +233,28 @@ def _level_step(ax, ay, inf, dig, bx, by, binf, B, W):
     gy = jnp.take(by, jnp.minimum(bslot, W * B - 1), axis=1)
     ginf = jnp.take(binf, jnp.minimum(bslot, W * B - 1))
     acc_act = jnp.logical_and(flush, jnp.logical_not(ginf))
-    bx_eq = jnp.logical_and(acc_act, _eq_lf(gx, xa))
-    by_eq = jnp.logical_and(bx_eq, _eq_lf(gy, ya))
+    bx_eq = jnp.logical_and(acc_act, _eq_lf(gx, xa, spec))
+    by_eq = jnp.logical_and(bx_eq, _eq_lf(gy, ya, spec))
     bdbl = by_eq
     bcancel = jnp.logical_and(bx_eq, jnp.logical_not(by_eq))
     bgen = jnp.logical_and(acc_act, jnp.logical_not(bx_eq))
-    den_acc = jnp.where(bdbl[None, :], add_lf(gy, gy), sub_lf(xa, gx))
     den_acc = jnp.where(
-        jnp.logical_or(bgen, bdbl)[None, :], den_acc, _one_lf(half)
+        bdbl[None, :], add_lf(gy, gy, spec), sub_lf(xa, gx, spec)
     )
-    gx2 = mul_lf(gx, gx)
+    den_acc = jnp.where(
+        jnp.logical_or(bgen, bdbl)[None, :], den_acc, _one_lf(half, spec)
+    )
+    gx2 = mul_lf(gx, gx, spec)
     num_acc = jnp.where(
-        bdbl[None, :], add_lf(add_lf(gx2, gx2), gx2), sub_lf(ya, gy)
+        bdbl[None, :], add_lf(add_lf(gx2, gx2, spec), gx2, spec), sub_lf(ya, gy, spec)
     )
 
     # ONE inversion batch for both halves of the level
-    invs = batch_inv_lf(jnp.concatenate([den_pair, den_acc], axis=1))
+    invs = batch_inv_lf(jnp.concatenate([den_pair, den_acc], axis=1), spec)
     inv_pair, inv_acc = invs[:, :half], invs[:, half:]
 
     # pair survivors
-    x3, y3 = _affine_add_with_inv(xa, ya, xb, yb, num_pair, inv_pair)
+    x3, y3 = _affine_add_with_inv(xa, ya, xb, yb, num_pair, inv_pair, spec)
     comb = jnp.logical_or(gen, dbl)
     sx = jnp.where(comb[None, :], x3, jnp.where(ia[None, :], xb, xa))
     sy = jnp.where(comb[None, :], y3, jnp.where(ia[None, :], yb, ya))
@@ -229,7 +269,7 @@ def _level_step(ax, ay, inf, dig, bx, by, binf, B, W):
     sdig = db
 
     # bucket updates: flushed value lands as (bucket + a) or a (bucket empty)
-    nx, ny = _affine_add_with_inv(gx, gy, xa, ya, num_acc, inv_acc)
+    nx, ny = _affine_add_with_inv(gx, gy, xa, ya, num_acc, inv_acc, spec)
     bcomb = jnp.logical_or(bgen, bdbl)
     ux = jnp.where(bcomb[None, :], nx, xa)
     uy = jnp.where(bcomb[None, :], ny, ya)
@@ -271,7 +311,7 @@ def _best_c(n: int, nbits: int = 254) -> int:
     return best
 
 
-def _jacobian_bucket_sum(bx, by, binf, W: int, B: int) -> Dict:
+def _jacobian_bucket_sum(bx, by, binf, W: int, B: int, spec=Fq) -> Dict:
     """(L, W*B) affine buckets -> per-window Jacobian total of
     sum_b b * S_b, via reverse inclusive scan + tree reduce (batch-major
     jnp combiner: correct everywhere; pallas combiner handled upstream)."""
@@ -279,7 +319,9 @@ def _jacobian_bucket_sum(bx, by, binf, W: int, B: int) -> Dict:
     x = jnp.transpose(bx.reshape(L, W, B), (1, 2, 0))
     y = jnp.transpose(by.reshape(L, W, B), (1, 2, 0))
     fin = jnp.logical_not(binf.reshape(W, B))
-    one = jnp.broadcast_to(jnp.asarray(np.asarray(Fq.r_limbs, np.uint32)), (W, B, L))
+    one = jnp.broadcast_to(
+        jnp.asarray(np.asarray(spec.r_limbs, np.uint32)), (W, B, L)
+    )
     z = jnp.where(fin[..., None], one, jnp.zeros_like(one))
     pts = {
         "x": jnp.where(fin[..., None], x, one),
@@ -287,34 +329,36 @@ def _jacobian_bucket_sum(bx, by, binf, W: int, B: int) -> Dict:
         "z": z,
     }
     # suffix sums T_v: inclusive reverse scan over the bucket axis
-    suf = jax.lax.associative_scan(jec.ec_add, pts, axis=1, reverse=True)
+    addc = functools.partial(jec.ec_add, spec=spec)
+    suf = jax.lax.associative_scan(addc, pts, axis=1, reverse=True)
     # sum_{v>=1} T_v = tree reduce of suf[:, 1:]
     t = {k: v[:, 1:] for k, v in suf.items()}
     m = B - 1
     while m > 1:
         if m % 2 == 1:
-            idp = jec.identity_point((t["x"].shape[0], 1))
+            idp = jec.identity_point((t["x"].shape[0], 1), spec)
             t = {k: jnp.concatenate([v, idp[k]], axis=1) for k, v in t.items()}
             m += 1
         t = jec.ec_add(
             {k: v[:, 0::2] for k, v in t.items()},
             {k: v[:, 1::2] for k, v in t.items()},
+            spec,
         )
         m //= 2
     return {k: v[:, 0] for k, v in t.items()}
 
 
 @functools.lru_cache(maxsize=None)
-def _prologue_fn(c: int, W: int):
+def _prologue_fn(c: int, W: int, base=Fq, scalar=Fr):
     def f(points_x, points_y, points_z, scalars_mont):
-        scal = F.from_mont(Fr, scalars_mont)
-        zinv = F.batch_inv(Fq, points_z)
-        zi2 = F.mont_mul(Fq, zinv, zinv)
-        ax0 = jnp.transpose(F.mont_mul(Fq, points_x, zi2), (1, 0))  # (L, n)
+        scal = F.from_mont(scalar, scalars_mont)
+        zinv = F.batch_inv(base, points_z)
+        zi2 = F.mont_mul(base, zinv, zinv)
+        ax0 = jnp.transpose(F.mont_mul(base, points_x, zi2), (1, 0))  # (L, n)
         ay0 = jnp.transpose(
-            F.mont_mul(Fq, points_y, F.mont_mul(Fq, zi2, zinv)), (1, 0)
+            F.mont_mul(base, points_y, F.mont_mul(base, zi2, zinv)), (1, 0)
         )
-        inf0 = F.is_zero(Fq, points_z)
+        inf0 = F.is_zero(base, points_z)
 
         digits = _digits_all(scal, c, W)  # (W, n)
         order = jnp.argsort(-digits.astype(jnp.int32), axis=1)  # desc
@@ -332,31 +376,40 @@ def _prologue_fn(c: int, W: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _epilogue_fn(W: int, B: int, c: int):
+def _epilogue_fn(W: int, B: int, c: int, spec=Fq):
     def f(ax, ay, inf, dig, bx, by, binf):
-        bx, by, binf = _final_flush(ax, ay, inf, dig, bx, by, binf, W, B)
-        totals = _jacobian_bucket_sum(bx, by, binf, W, B)
+        bx, by, binf = _final_flush(ax, ay, inf, dig, bx, by, binf, W, B, spec)
+        totals = _jacobian_bucket_sum(bx, by, binf, W, B, spec)
         total = {k: v[W - 1] for k, v in totals.items()}
         for w in range(W - 2, -1, -1):
             for _ in range(c):
-                total = jec.ec_double(total)
-            total = jec.ec_add(total, {k: v[w] for k, v in totals.items()})
+                total = jec.ec_double(total, spec)
+            total = jec.ec_add(total, {k: v[w] for k, v in totals.items()}, spec)
         return total
 
     return jax.jit(f) if _on_accel() else f
 
 
-def msm_affine(points_bm: Dict, scalars_mont: jnp.ndarray) -> Dict:
+def msm_affine(
+    points_bm: Dict,
+    scalars_mont: jnp.ndarray,
+    base=None,
+    scalar=None,
+) -> Dict:
     """Variable-base MSM: (n,) batch-major Jacobian point dict + (n, L)
     Montgomery scalars -> single Jacobian point (batch-major coords (L,)).
-    n must be a power of two (padded by callers)."""
+    n must be a power of two (padded by callers). base/scalar select the
+    curve (default BN254 G1; grumpkin = Fr/Fq)."""
+    base = base or Fq
+    scalar = scalar or Fr
+    assert base.num_limbs == L
     n = scalars_mont.shape[0]
     assert n & (n - 1) == 0
-    c = _best_c(n)
+    c = _best_c(n, scalar.num_bits)
     B = 1 << c
-    W = -(-254 // c)
+    W = -(-scalar.num_bits // c)
 
-    ax, ay, inf, dig = _prologue_fn(c, W)(
+    ax, ay, inf, dig = _prologue_fn(c, W, base, scalar)(
         points_bm["x"], points_bm["y"], points_bm["z"], scalars_mont
     )
 
@@ -366,30 +419,30 @@ def msm_affine(points_bm: Dict, scalars_mont: jnp.ndarray) -> Dict:
 
     m = n
     while m > 1:
-        ax, ay, inf, dig, bx, by, binf = _level_fn(m, W, B)(
+        ax, ay, inf, dig, bx, by, binf = _level_fn(m, W, B, base)(
             ax, ay, inf, dig, bx, by, binf
         )
         m //= 2
-    return _epilogue_fn(W, B, c)(ax, ay, inf, dig, bx, by, binf)
+    return _epilogue_fn(W, B, c, base)(ax, ay, inf, dig, bx, by, binf)
 
 
 @functools.lru_cache(maxsize=None)
-def _level_fn(m: int, W: int, B: int):
+def _level_fn(m: int, W: int, B: int, spec=Fq):
     # On the accelerator each level is ONE fused module (dispatch latency
     # through the device tunnel dominates). On CPU the same module —
     # two log-depth mont_mul scans inlined — costs minutes of XLA compile,
     # so run the level eagerly there: per-op modules are tiny and reused
     # across levels/tests.
     def f(ax, ay, inf, dig, bx, by, binf):
-        return _level_step(ax, ay, inf, dig, bx, by, binf, B, W)
+        return _level_step(ax, ay, inf, dig, bx, by, binf, B, W, spec)
 
     return jax.jit(f) if _on_accel() else f
 
 
-def _final_flush(ax, ay, inf, dig, bx, by, binf, W, B):
+def _final_flush(ax, ay, inf, dig, bx, by, binf, W, B, spec=Fq):
     """Flush the last survivor of each window into its bucket (general
     Jacobian add at W lanes: cheap, and avoids affine edge cases)."""
-    one = _one_lf(W)
+    one = _one_lf(W, spec)
     fin = jnp.logical_not(inf)
     bslot = jnp.where(
         fin, jnp.arange(W, dtype=jnp.uint32) * jnp.uint32(B) + dig, jnp.uint32(W * B)
@@ -405,18 +458,20 @@ def _final_flush(ax, ay, inf, dig, bx, by, binf, W, B):
         zz = jnp.where(
             isinf[:, None],
             jnp.zeros((W, L), jnp.uint32),
-            jnp.broadcast_to(jnp.asarray(np.asarray(Fq.r_limbs, np.uint32)), (W, L)),
+            jnp.broadcast_to(
+                jnp.asarray(np.asarray(spec.r_limbs, np.uint32)), (W, L)
+            ),
         )
         return {"x": o, "y": p, "z": zz}
 
-    res = jec.ec_add(to_bm(gx, gy, ginf), to_bm(ax, ay, inf))
+    res = jec.ec_add(to_bm(gx, gy, ginf), to_bm(ax, ay, inf), spec)
     rz = res["z"]
-    rinf = F.is_zero(Fq, rz)
-    zinv = F.batch_inv(Fq, rz)
-    zi2 = F.mont_mul(Fq, zinv, zinv)
-    rx = jnp.transpose(F.mont_mul(Fq, res["x"], zi2), (1, 0))
+    rinf = F.is_zero(spec, rz)
+    zinv = F.batch_inv(spec, rz)
+    zi2 = F.mont_mul(spec, zinv, zinv)
+    rx = jnp.transpose(F.mont_mul(spec, res["x"], zi2), (1, 0))
     ry = jnp.transpose(
-        F.mont_mul(Fq, res["y"], F.mont_mul(Fq, zi2, zinv)), (1, 0)
+        F.mont_mul(spec, res["y"], F.mont_mul(spec, zi2, zinv)), (1, 0)
     )
     bx = bx.at[:, bslot].set(rx, mode="drop")
     by = by.at[:, bslot].set(ry, mode="drop")

@@ -80,10 +80,12 @@ def additive_batch_open(
     evals: Sequence[Evaluation],
     transcript: Keccak256Transcript,
 ) -> None:
-    """pcs/multilinear.rs:134-235 semantics. `polys` are device eval arrays."""
+    """pcs/multilinear.rs:134-235 semantics. `polys` are device eval arrays.
+    The poly field comes from the PCS class (`FIELD` attr, default Fr) so
+    scalar-field-swapped curves (grumpkin) reuse this path."""
     from halo2_lasso_tpu.ops import field as F
 
-    spec = Fr
+    spec = getattr(pcs, "FIELD", Fr)
     p = spec.modulus
     ell = max((len(evals) - 1).bit_length(), 0) if len(evals) > 1 else 0
     t = transcript.squeeze_challenges(ell)
@@ -143,7 +145,7 @@ def additive_batch_verify(
     transcript: Keccak256Transcript,
 ) -> None:
     """pcs/multilinear.rs:237-275 semantics."""
-    spec = Fr
+    spec = getattr(pcs, "FIELD", Fr)
     p = spec.modulus
     ell = max((len(evals) - 1).bit_length(), 0) if len(evals) > 1 else 0
     t = transcript.squeeze_challenges(ell)

@@ -97,3 +97,16 @@ import pytest  # noqa: E402
 def _clear_jax_caches_per_module():
     yield
     jax.clear_caches()
+
+
+# The e2e backend tests compile the most (every nv is a fresh shape set);
+# within one module the module fixture never fires, and the BIG_TESTS sweep
+# (nv 8..12) still hits the cliff mid-module. Clear after every test there.
+_HEAVY = ("test_hyperplonk", "test_lasso", "test_hyperplonk_pcs")
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_heavy(request):
+    yield
+    if any(request.node.nodeid.startswith(f"tests/{m}") for m in _HEAVY):
+        jax.clear_caches()
