@@ -15,16 +15,16 @@ from typing import List, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from halo2_lasso_tpu.ops import ec
+from halo2_lasso_tpu.ops import curves, ec
 from halo2_lasso_tpu.ops import field as F
-from halo2_lasso_tpu.ops.bn254 import Fr
+from halo2_lasso_tpu.ops.bn254 import Fq, Fr
 from halo2_lasso_tpu.pcs import (
     Evaluation,
     additive_batch_open,
     additive_batch_verify,
     g1_sum_with_scalar,
 )
-from halo2_lasso_tpu.pcs.ipa import IpaParams, MultilinearIpa
+from halo2_lasso_tpu.pcs.ipa import IpaParams, MultilinearIpa, MultilinearIpaGrumpkin
 from halo2_lasso_tpu.pcs.multilinear_kzg import PcsError
 from halo2_lasso_tpu.poly import multilinear as mle
 
@@ -48,12 +48,20 @@ class HyraxParams:
 
 
 class MultilinearHyrax:
-    @staticmethod
-    def setup(poly_size: int, batch_size: int = 1, rng=None) -> HyraxParams:
+    """Generic over the curve via the IPA base: subclass and set IPA (and
+    the matching CURVE/FIELD) for grumpkin, mirroring the reference's
+    MultilinearHyrax<grumpkin::G1Affine> (hyperplonk.rs:423)."""
+
+    IPA = MultilinearIpa
+    CURVE = curves.BN254_G1
+    FIELD = Fr
+
+    @classmethod
+    def setup(cls, poly_size: int, batch_size: int = 1, rng=None) -> HyraxParams:
         num_vars = poly_size.bit_length() - 1
         batch_num_vars = (poly_size * batch_size - 1).bit_length() if batch_size > 1 else num_vars
         row_num_vars = -(-batch_num_vars // 2)
-        ipa = MultilinearIpa.setup(1 << row_num_vars)
+        ipa = cls.IPA.setup(1 << row_num_vars)
         return HyraxParams(
             num_vars=num_vars,
             batch_num_vars=batch_num_vars,
@@ -61,14 +69,14 @@ class MultilinearHyrax:
             ipa=ipa,
         )
 
-    @staticmethod
-    def trim(param: HyraxParams, poly_size: int, batch_size: int = 1):
+    @classmethod
+    def trim(cls, param: HyraxParams, poly_size: int, batch_size: int = 1):
         num_vars = poly_size.bit_length() - 1
         batch_num_vars = (poly_size * batch_size - 1).bit_length() if batch_size > 1 else num_vars
         row_num_vars = -(-batch_num_vars // 2)
         if param.row_num_vars < row_num_vars:
             raise PcsError("too many variates to trim")
-        ipa, _ = MultilinearIpa.trim(param.ipa, 1 << row_num_vars)
+        ipa, _ = cls.IPA.trim(param.ipa, 1 << row_num_vars)
         p = HyraxParams(
             num_vars=num_vars,
             batch_num_vars=batch_num_vars,
@@ -77,20 +85,27 @@ class MultilinearHyrax:
         )
         return p, p
 
-    @staticmethod
-    def commit(pp: HyraxParams, evals: jnp.ndarray) -> List[Tuple[int, int]]:
+    @classmethod
+    def commit(cls, pp: HyraxParams, evals: jnp.ndarray) -> List[Tuple[int, int]]:
         n = evals.shape[0]
         row_len = min(pp.row_len, n)
         num_rows = n // row_len
         g = {k: v[:row_len] for k, v in pp.ipa.g.items()}
         comms = []
         for r in range(num_rows):
-            comms.append(ec.msm_to_affine_int(g, evals[r * row_len : (r + 1) * row_len]))
+            comms.append(
+                ec.msm_to_affine_int(
+                    g,
+                    evals[r * row_len : (r + 1) * row_len],
+                    cls.CURVE.base,
+                    cls.FIELD,
+                )
+            )
         return comms
 
-    @staticmethod
-    def batch_commit(pp, polys) -> List[List[Tuple[int, int]]]:
-        return [MultilinearHyrax.commit(pp, p) for p in polys]
+    @classmethod
+    def batch_commit(cls, pp, polys) -> List[List[Tuple[int, int]]]:
+        return [cls.commit(pp, p) for p in polys]
 
     @staticmethod
     def write_commitments(comms: Sequence[List[Tuple[int, int]]], transcript) -> None:
@@ -105,45 +120,53 @@ class MultilinearHyrax:
     def verifier_commitment(comm):
         return comm
 
-    @staticmethod
-    def sum_commitments(scalars: Sequence[int], comms: Sequence[List[Tuple[int, int]]]):
+    @classmethod
+    def sum_commitments(cls, scalars: Sequence[int], comms: Sequence[List[Tuple[int, int]]]):
         """Chunk-wise additive combination (vector commitment)."""
         num_chunks = len(comms[0])
         return [
-            g1_sum_with_scalar(scalars, [c[i] for c in comms])
+            cls.IPA.sum_commitments(scalars, [c[i] for c in comms])
             for i in range(num_chunks)
         ]
 
-    @staticmethod
-    def open(pp: HyraxParams, evals: jnp.ndarray, point: Sequence[int], eval_, transcript) -> None:
+    @classmethod
+    def open(cls, pp: HyraxParams, evals: jnp.ndarray, point: Sequence[int], eval_, transcript) -> None:
+        S = cls.FIELD
         row_nv = min(pp.row_num_vars, len(point))
         lo, hi = list(point[:row_nv]), list(point[row_nv:])
         folded = evals
         if hi:
-            xd = jnp.asarray(Fr.encode(hi))
+            xd = jnp.asarray(S.encode(hi))
             for i in range(len(hi) - 1, -1, -1):
-                folded = mle.fix_last_var(Fr, folded, xd[i])
-        MultilinearIpa.open(pp.ipa, folded, lo, eval_, transcript)
+                folded = mle.fix_last_var(S, folded, xd[i])
+        cls.IPA.open(pp.ipa, folded, lo, eval_, transcript)
 
-    @staticmethod
-    def verify(vp: HyraxParams, comm: List[Tuple[int, int]], point: Sequence[int], eval_: int, transcript) -> None:
+    @classmethod
+    def verify(cls, vp: HyraxParams, comm: List[Tuple[int, int]], point: Sequence[int], eval_: int, transcript) -> None:
+        S = cls.FIELD
         row_nv = min(vp.row_num_vars, len(point))
         lo, hi = list(point[:row_nv]), list(point[row_nv:])
         if hi:
-            eq_hi = mle.eq_xy(Fr, jnp.asarray(Fr.encode(hi)))
-            scalars = [int(v) for v in Fr.decode(np.asarray(eq_hi))]
-            folded_comm = g1_sum_with_scalar(scalars, comm)
+            eq_hi = mle.eq_xy(S, jnp.asarray(S.encode(hi)))
+            scalars = [int(v) for v in S.decode(np.asarray(eq_hi))]
+            folded_comm = cls.IPA.sum_commitments(scalars, comm)
         else:
             assert len(comm) == 1
             folded_comm = comm[0]
-        MultilinearIpa.verify(vp.ipa, folded_comm, lo, eval_, transcript)
+        cls.IPA.verify(vp.ipa, folded_comm, lo, eval_, transcript)
 
-    @staticmethod
-    def batch_open(pp, polys, comms, points, evals, transcript):
-        additive_batch_open(MultilinearHyrax, pp, pp.num_vars, polys, points, evals, transcript)
+    @classmethod
+    def batch_open(cls, pp, polys, comms, points, evals, transcript):
+        additive_batch_open(cls, pp, pp.num_vars, polys, points, evals, transcript)
 
-    @staticmethod
-    def batch_verify(vp, comms, points, evals, transcript):
-        additive_batch_verify(
-            MultilinearHyrax, vp, vp.num_vars, comms, points, evals, transcript
-        )
+    @classmethod
+    def batch_verify(cls, vp, comms, points, evals, transcript):
+        additive_batch_verify(cls, vp, vp.num_vars, comms, points, evals, transcript)
+
+
+class MultilinearHyraxGrumpkin(MultilinearHyrax):
+    """Hyrax over grumpkin (hyperplonk.rs:423 parity): polys over bn254 Fq."""
+
+    IPA = MultilinearIpaGrumpkin
+    CURVE = curves.GRUMPKIN
+    FIELD = Fq

@@ -97,3 +97,40 @@ def test_ipa_grumpkin_roundtrip():
     tr2.read_field_element()
     with pytest.raises(Exception):
         MultilinearIpaGrumpkin.verify(vp, comm_r, pt2, (v_r + 1) % ORDER, tr2)
+
+
+def test_hyrax_grumpkin_roundtrip():
+    from halo2_lasso_tpu.pcs.hyrax import MultilinearHyraxGrumpkin
+
+    num_vars = 4
+    S = Fq
+    param = MultilinearHyraxGrumpkin.setup(1 << num_vars)
+    pp, vp = MultilinearHyraxGrumpkin.trim(param, 1 << num_vars)
+    vals = [int.from_bytes(RNG.bytes(40), "little") % ORDER for _ in range(1 << num_vars)]
+    poly = jnp.asarray(S.encode(vals))
+
+    tw = new_t()
+    comm = MultilinearHyraxGrumpkin.commit(pp, poly)
+    for c in comm:
+        assert curves.on_curve(G, *c)
+    tw.write_commitments(comm)
+    point = tw.squeeze_challenges(num_vars)
+    v = F.decode_scalar(
+        S, np.asarray(mle.evaluate(S, poly, jnp.asarray(S.encode(point))))
+    )
+    tw.write_field_element(v)
+    MultilinearHyraxGrumpkin.open(pp, poly, point, v, tw)
+    proof = tw.into_proof()
+
+    tr = new_t(proof)
+    comm_r = tr.read_commitments(len(comm))
+    point_r = tr.squeeze_challenges(num_vars)
+    v_r = tr.read_field_element()
+    MultilinearHyraxGrumpkin.verify(vp, comm_r, point_r, v_r, tr)
+
+    tr2 = new_t(proof)
+    tr2.read_commitments(len(comm))
+    pt2 = tr2.squeeze_challenges(num_vars)
+    tr2.read_field_element()
+    with pytest.raises(Exception):
+        MultilinearHyraxGrumpkin.verify(vp, comm_r, pt2, (v_r + 1) % ORDER, tr2)
