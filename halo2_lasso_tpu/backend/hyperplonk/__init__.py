@@ -30,6 +30,21 @@ def new_transcript(proof: Optional[bytes] = None) -> Keccak256Transcript:
     return Keccak256Transcript(Fr.modulus, base_modulus=FQ_MODULUS, proof=proof, curve_b=3)
 
 
+def transcript_for(pcs_cls, proof: Optional[bytes] = None) -> Keccak256Transcript:
+    """Transcript configured for a PCS's curve/field (grumpkin-backed PCS
+    squeeze challenges over Fq and validate points over Fr with b=-17)."""
+    from halo2_lasso_tpu.ops import curves
+
+    curve = getattr(pcs_cls, "CURVE", curves.BN254_G1)
+    field = getattr(pcs_cls, "FIELD", Fr)
+    return Keccak256Transcript(
+        field.modulus,
+        base_modulus=curve.base.modulus,
+        proof=proof,
+        curve_b=curve.b,
+    )
+
+
 @dataclasses.dataclass
 class HyperPlonkProverParam:
     pcs: Any
@@ -64,6 +79,16 @@ class HyperPlonk:
     Pcs = MultilinearKzg
 
     @classmethod
+    def field(cls):
+        """The SNARK field = the PCS's polynomial field (Fr for BN254-based
+        PCS, Fq for grumpkin-based IPA/Hyrax)."""
+        return getattr(cls.Pcs, "FIELD", Fr)
+
+    @classmethod
+    def transcript(cls, proof: Optional[bytes] = None) -> Keccak256Transcript:
+        return transcript_for(cls.Pcs, proof)
+
+    @classmethod
     def setup(cls, circuit_info: PlonkishCircuitInfo, rng: np.random.RandomState):
         assert circuit_info.is_well_formed()
         return cls.Pcs.setup(1 << circuit_info.k, rng=rng)
@@ -77,8 +102,9 @@ class HyperPlonk:
         num_vars = circuit_info.k
         pcs_pp, pcs_vp = cls.Pcs.trim(param, 1 << num_vars)
 
+        spec = cls.field()
         preprocess_polys = [
-            jnp.asarray(Fr.encode(vals)) for vals in circuit_info.preprocess_polys
+            jnp.asarray(spec.encode(vals)) for vals in circuit_info.preprocess_polys
         ]
         preprocess_comms = cls.Pcs.batch_commit(pcs_pp, preprocess_polys)
 
@@ -86,7 +112,7 @@ class HyperPlonk:
         perm_values = preprocessor.permutation_polys_values(
             num_vars, perm_poly_indices, circuit_info.permutations
         )
-        permutation_polys = [jnp.asarray(Fr.encode(v)) for v in perm_values]
+        permutation_polys = [jnp.asarray(spec.encode(v)) for v in perm_values]
         permutation_comms = cls.Pcs.batch_commit(pcs_pp, permutation_polys)
 
         num_permutation_z_polys, expression = preprocessor.compose(circuit_info)
@@ -130,7 +156,7 @@ class HyperPlonk:
         circuit: PlonkishCircuit,
         transcript: Keccak256Transcript,
     ) -> None:
-        spec = Fr
+        spec = cls.field()
         p = spec.modulus
         num_vars = pp.num_vars
 
@@ -140,7 +166,7 @@ class HyperPlonk:
             for v in inst:
                 transcript.common_field_element(v)
         instance_polys = [
-            jnp.asarray(spec.encode(prover.instance_poly_values(num_vars, inst)))
+            jnp.asarray(spec.encode(prover.instance_poly_values(num_vars, inst, spec)))
             for inst in instances
         ]
 
@@ -169,17 +195,17 @@ class HyperPlonk:
             max_width = max((len(l) for l in pp.lookups), default=0)
             betas = [pow(beta, i, p) for i in range(max_width)]
             compressed = prover.lookup_compressed_polys(
-                pp.lookups, polys, challenges, betas
+                pp.lookups, polys, challenges, betas, spec=spec
             )
         with timed.scope("lookup_m_polys"):
-            m_polys = prover.lookup_m_polys(compressed)
+            m_polys = prover.lookup_m_polys(compressed, spec=spec)
         m_comms = cls.Pcs.batch_commit(pp.pcs, m_polys)
         cls.Pcs.write_commitments(m_comms, transcript)
 
         # Round n+1: gamma, h polys + permutation z polys
         gamma = transcript.squeeze_challenge()
         with timed.scope("lookup_h_polys"):
-            h_polys = prover.lookup_h_polys(compressed, m_polys, gamma)
+            h_polys = prover.lookup_h_polys(compressed, m_polys, gamma, spec=spec)
         with timed.scope("permutation_z_polys"):
             z_polys = prover.permutation_z_polys(
                 pp.num_permutation_z_polys,
@@ -187,6 +213,7 @@ class HyperPlonk:
                 polys,
                 beta,
                 gamma,
+                spec=spec,
             )
         hz_polys = h_polys + z_polys
         hz_comms = cls.Pcs.batch_commit(pp.pcs, hz_polys)
@@ -213,7 +240,13 @@ class HyperPlonk:
         challenges = challenges + [beta, gamma, alpha]
         with timed.scope("zero_check"):
             points, evals = prover.prove_zero_check(
-                len(pp.num_instances), pp.expression, all_polys, challenges, y, transcript
+                len(pp.num_instances),
+                pp.expression,
+                all_polys,
+                challenges,
+                y,
+                transcript,
+                spec=spec,
             )
 
         # PCS batch open
@@ -251,7 +284,13 @@ class HyperPlonk:
 
         challenges = challenges + [beta, gamma, alpha]
         points, evals = verifier.verify_zero_check(
-            num_vars, vp.expression, instances, challenges, y, transcript
+            num_vars,
+            vp.expression,
+            instances,
+            challenges,
+            y,
+            transcript,
+            spec=cls.field(),
         )
 
         comms = (

@@ -20,8 +20,8 @@ from halo2_lasso_tpu.poly.bh import BooleanHypercube
 P = Fr.modulus
 
 
-def _rand_fe(rng) -> int:
-    return int.from_bytes(rng.bytes(40), "little") % P
+def _rand_fe(rng, p: int = P) -> int:
+    return int.from_bytes(rng.bytes(40), "little") % p
 
 
 def vanilla_plonk_circuit_info(
@@ -93,14 +93,15 @@ class Permutation:
         return [sorted(c) for c in self.cycles]
 
 
-def rand_vanilla_plonk_circuit(num_vars: int, preprocess_rng, witness_rng):
+def rand_vanilla_plonk_circuit(num_vars: int, preprocess_rng, witness_rng, field=Fr):
     """util.rs:100-169: random satisfied vanilla plonk circuit with random
     copy constraints."""
+    P = field.modulus
     size = 1 << num_vars
     polys = [[0] * size for _ in range(9)]
 
-    instances = [_rand_fe(witness_rng) for _ in range(num_vars)]
-    polys[0] = instance_poly_values(num_vars, instances)
+    instances = [_rand_fe(witness_rng, P) for _ in range(num_vars)]
+    polys[0] = instance_poly_values(num_vars, instances, field)
 
     permutation = Permutation()
     for poly in (6, 7, 8):
@@ -114,8 +115,8 @@ def rand_vanilla_plonk_circuit(num_vars: int, preprocess_rng, witness_rng):
             w_l = polys[l_copy[0]][l_copy[1]]
             w_r = polys[r_copy[0]][r_copy[1]]
         else:
-            w_l, w_r = _rand_fe(witness_rng), _rand_fe(witness_rng)
-        q_c = _rand_fe(preprocess_rng)
+            w_l, w_r = _rand_fe(witness_rng, P), _rand_fe(witness_rng, P)
+        q_c = _rand_fe(preprocess_rng, P)
         if preprocess_rng.randint(2) == 0:
             values = [
                 (1, 1),
@@ -144,17 +145,20 @@ def rand_vanilla_plonk_circuit(num_vars: int, preprocess_rng, witness_rng):
     return circuit_info, MockCircuit([instances], polys[6:9])
 
 
-def rand_vanilla_plonk_with_lookup_circuit(num_vars: int, preprocess_rng, witness_rng):
+def rand_vanilla_plonk_with_lookup_circuit(
+    num_vars: int, preprocess_rng, witness_rng, field=Fr
+):
     """util.rs:216-316."""
+    P = field.modulus
     size = 1 << num_vars
     polys = [[0] * size for _ in range(13)]
 
     for t in (7, 8, 9):
-        col = [0, 0] + [_rand_fe(preprocess_rng) for _ in range(size - 2)]
+        col = [0, 0] + [_rand_fe(preprocess_rng, P) for _ in range(size - 2)]
         polys[t] = col[:size]
 
-    instances = [_rand_fe(witness_rng) for _ in range(num_vars)]
-    polys[0] = instance_poly_values(num_vars, instances)
+    instances = [_rand_fe(witness_rng, P) for _ in range(num_vars)]
+    polys[0] = instance_poly_values(num_vars, instances, field)
     bh_seq = BooleanHypercube(num_vars).iter_indices()
     instance_rows = set(int(b) for b in bh_seq[: num_vars + 1])
 
@@ -171,8 +175,8 @@ def rand_vanilla_plonk_with_lookup_circuit(num_vars: int, preprocess_rng, witnes
             w_l = polys[l_copy[0]][l_copy[1]]
             w_r = polys[r_copy[0]][r_copy[1]]
         else:
-            w_l, w_r = _rand_fe(witness_rng), _rand_fe(witness_rng)
-        q_c = _rand_fe(preprocess_rng)
+            w_l, w_r = _rand_fe(witness_rng, P), _rand_fe(witness_rng, P)
+        q_c = _rand_fe(preprocess_rng, P)
         if use_copy or idx in instance_rows:
             if preprocess_rng.randint(2) == 0:
                 values = [

@@ -43,12 +43,15 @@ def row_mapping(k: int) -> np.ndarray:
     return np.concatenate([seq[1:], seq[:1]])
 
 
-def instance_poly_values(num_vars: int, instances: Sequence[int]) -> List[int]:
+def instance_poly_values(
+    num_vars: int, instances: Sequence[int], spec=None
+) -> List[int]:
     """prover.rs:32-48: place instance values at their bh rows."""
     rm = row_mapping(num_vars)
     out = [0] * (1 << num_vars)
+    p = (spec or Fr).modulus
     for r, v in enumerate(instances):
-        out[int(rm[r])] = v % Fr.modulus
+        out[int(rm[r])] = v % p
     return out
 
 
@@ -90,12 +93,13 @@ def lookup_compressed_polys(
     polys: Sequence[jnp.ndarray],
     challenges: Sequence[int],
     betas: Sequence[int],
+    spec=None,
 ) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
     """prover.rs:50-137: per lookup, (compressed input, compressed table) =
     sum_i betas[i] * expr_i evaluated over all b. One fused device pass."""
     if not lookups:
         return []
-    spec = Fr
+    spec = spec or Fr
     num_vars = polys[0].shape[0].bit_length() - 1
     chal_dev = [jnp.asarray(spec.encode([c]))[0] for c in challenges]
     betas_dev = [jnp.asarray(spec.encode([b]))[0] for b in betas]
@@ -156,10 +160,12 @@ def _m_poly_counts(inp: jnp.ndarray, tbl: jnp.ndarray):
     return m, invalid
 
 
-@jax.jit
-def _counts_to_field(m: jnp.ndarray) -> jnp.ndarray:
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _counts_to_field(m: jnp.ndarray, spec=Fr) -> jnp.ndarray:
     """(n,) int32 counts -> (n, L) Montgomery limbs, on device."""
-    spec = Fr
     limbs = jnp.zeros((m.shape[0], spec.num_limbs), jnp.uint32)
     mu = m.astype(jnp.uint32)
     limbs = limbs.at[:, 0].set(mu & 0xFFFF).at[:, 1].set(mu >> 16)
@@ -167,7 +173,7 @@ def _counts_to_field(m: jnp.ndarray) -> jnp.ndarray:
 
 
 def lookup_m_polys(
-    compressed: Sequence[Tuple[jnp.ndarray, jnp.ndarray]]
+    compressed: Sequence[Tuple[jnp.ndarray, jnp.ndarray]], spec=None
 ) -> List[jnp.ndarray]:
     """prover.rs:139-192: m[idx] = multiplicity of table[idx] among inputs
     (idx = LAST index of each distinct table value). Fully on device — the
@@ -177,7 +183,7 @@ def lookup_m_polys(
         m, invalid = _m_poly_counts(inp_d, tbl_d)
         if bool(invalid):
             raise ProofError("invalid lookup input")
-        out.append(_counts_to_field(m))
+        out.append(_counts_to_field(m, spec or Fr))
     return out
 
 
@@ -185,10 +191,11 @@ def lookup_h_polys(
     compressed: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
     m_polys: Sequence[jnp.ndarray],
     gamma: int,
+    spec=None,
 ) -> List[jnp.ndarray]:
     """prover.rs:194-250: h = 1/(gamma+input) - m/(gamma+table), batched
     inversions on device."""
-    spec = Fr
+    spec = spec or Fr
     g = jnp.asarray(spec.encode([gamma]))[0]
     out = []
     for (inp, tbl), m in zip(compressed, m_polys):
@@ -211,6 +218,7 @@ def permutation_z_polys(
     polys: Sequence[jnp.ndarray],
     beta: int,
     gamma: int,
+    spec=None,
 ) -> List[jnp.ndarray]:
     """prover.rs:252-345 semantics via parallel prefix product.
 
@@ -220,7 +228,7 @@ def permutation_z_polys(
     """
     if not permutation_polys:
         return []
-    spec = Fr
+    spec = spec or Fr
     num_vars = polys[0].shape[0].bit_length() - 1
     n = 1 << num_vars
     chunk_size = -(-len(permutation_polys) // num_chunks)
@@ -326,10 +334,11 @@ def prove_sum_check(
     challenges: Sequence[int],
     y: Sequence[int],
     transcript,
+    spec=None,
 ) -> Tuple[List[List[int]], List[Evaluation]]:
     """prover.rs:347-409: run the zero/sum check, evaluate rotated queries,
     write eval values, return (points, Evaluations)."""
-    spec = Fr
+    spec = spec or Fr
     p = spec.modulus
     num_vars = polys[0].shape[0].bit_length() - 1
     vp = sum_check.VirtualPolynomial(expression, polys, challenges, [list(y)])
@@ -351,7 +360,9 @@ def prove_sum_check(
     return points_for_queries(p, queries, x), evals
 
 
-def prove_zero_check(num_instance_poly, expression, polys, challenges, y, transcript):
+def prove_zero_check(
+    num_instance_poly, expression, polys, challenges, y, transcript, spec=None
+):
     return prove_sum_check(
-        num_instance_poly, expression, 0, polys, challenges, y, transcript
+        num_instance_poly, expression, 0, polys, challenges, y, transcript, spec=spec
     )

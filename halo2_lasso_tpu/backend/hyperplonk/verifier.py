@@ -29,9 +29,10 @@ def instance_evals(
     expression: Expression,
     instances: Sequence[Sequence[int]],
     x: Sequence[int],
+    spec=None,
 ) -> Dict[Query, int]:
     """verifier.rs:92-145: evaluate instance polys at x via lagrange sums."""
-    p = Fr.modulus
+    p = (spec or Fr).modulus
     queries = [q for q in expression.used_query if q.poly < len(instances)]
     if not queries:
         return {}
@@ -75,9 +76,10 @@ def verify_sum_check(
     challenges: Sequence[int],
     y: Sequence[int],
     transcript,
+    spec=None,
 ) -> Tuple[List[List[int]], List[Evaluation]]:
     """verifier.rs:38-90."""
-    p = Fr.modulus
+    p = (spec or Fr).modulus
     x_eval, x = sum_check.verify(p, num_vars, expression.degree, sum_, transcript)
 
     queries = pcs_query(expression, len(instances))
@@ -88,7 +90,7 @@ def verify_sum_check(
         evals_for_rotation.append(efr)
         evals[q] = mle.rotation_eval(p, x, q.rotation, efr)
 
-    evals.update(instance_evals(num_vars, expression, instances, x))
+    evals.update(instance_evals(num_vars, expression, instances, x, spec=spec))
     got = sum_check.evaluate_at_point(
         expression, p, num_vars, evals, challenges, [list(y)], x
     )
@@ -103,7 +105,7 @@ def verify_sum_check(
     return points_for_queries(p, queries, x), out_evals
 
 
-def verify_zero_check(num_vars, expression, instances, challenges, y, transcript):
+def verify_zero_check(num_vars, expression, instances, challenges, y, transcript, spec=None):
     return verify_sum_check(
-        num_vars, expression, 0, instances, challenges, y, transcript
+        num_vars, expression, 0, instances, challenges, y, transcript, spec=spec
     )

@@ -5,15 +5,15 @@
 import numpy as np
 import pytest
 
-from halo2_lasso_tpu.backend.hyperplonk import hyperplonk, new_transcript
+from halo2_lasso_tpu.backend.hyperplonk import hyperplonk
 from halo2_lasso_tpu.backend.hyperplonk.fixtures import (
     rand_vanilla_plonk_circuit,
     rand_vanilla_plonk_with_lookup_circuit,
 )
 from halo2_lasso_tpu.pcs.brakedown import MultilinearBrakedown
 from halo2_lasso_tpu.pcs.gemini import Gemini
-from halo2_lasso_tpu.pcs.hyrax import MultilinearHyrax
-from halo2_lasso_tpu.pcs.ipa import MultilinearIpa
+from halo2_lasso_tpu.pcs.hyrax import MultilinearHyrax, MultilinearHyraxGrumpkin
+from halo2_lasso_tpu.pcs.ipa import MultilinearIpa, MultilinearIpaGrumpkin
 from halo2_lasso_tpu.pcs.multilinear_kzg import MultilinearKzg
 from halo2_lasso_tpu.pcs.zeromorph import Zeromorph
 
@@ -24,21 +24,28 @@ PCS_CLASSES = [
     MultilinearIpa,
     MultilinearHyrax,
     MultilinearBrakedown,
+    # the grumpkin half of the 2-cycle: the SNARK runs over bn254 Fq
+    # (hyperplonk.rs:422-423)
+    MultilinearIpaGrumpkin,
+    MultilinearHyraxGrumpkin,
 ]
 
 
 def run_backend(backend, num_vars, circuit_fn):
     circuit_info, circuit = circuit_fn(
-        num_vars, np.random.RandomState(num_vars), np.random.RandomState(100 + num_vars)
+        num_vars,
+        np.random.RandomState(num_vars),
+        np.random.RandomState(100 + num_vars),
+        field=backend.field(),
     )
     param = backend.setup(circuit_info, np.random.RandomState(0))
     pp, vp = backend.preprocess(param, circuit_info)
 
-    tw = new_transcript()
+    tw = backend.transcript()
     backend.prove(pp, circuit, tw)
     proof = tw.into_proof()
 
-    tr = new_transcript(proof)
+    tr = backend.transcript(proof)
     backend.verify(vp, circuit.instances(), tr)
     return proof, vp, circuit
 
@@ -59,6 +66,6 @@ def test_tampered_proof_rejected(pcs):
     proof, vp, circuit = run_backend(backend, 3, rand_vanilla_plonk_circuit)
     bad = bytearray(proof)
     bad[len(bad) // 2] ^= 1
-    tr = new_transcript(bytes(bad))
+    tr = backend.transcript(bytes(bad))
     with pytest.raises(Exception):
         backend.verify(vp, circuit.instances(), tr)
