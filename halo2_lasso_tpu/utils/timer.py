@@ -14,6 +14,10 @@ import sys
 import time
 
 _ENABLED = os.environ.get("HALO2_LASSO_TPU_TIMER", "0") == "1"
+# HALO2_LASSO_TPU_PROFILE=<dir>: wrap top-level timed scopes (prove /
+# preprocess / verify) in a jax.profiler trace written to <dir>, viewable
+# in TensorBoard/XProf — device timeline + HLO cost attribution.
+_PROFILE_DIR = os.environ.get("HALO2_LASSO_TPU_PROFILE", "")
 _DEPTH = 0
 _RECORDS: list = []
 
@@ -49,6 +53,11 @@ class timed:
     @contextlib.contextmanager
     def scope(name: str):
         global _DEPTH
+        profiling = bool(_PROFILE_DIR) and _DEPTH == 0
+        if profiling:
+            import jax
+
+            jax.profiler.start_trace(_PROFILE_DIR)
         start = time.perf_counter()
         _DEPTH += 1
         try:
@@ -59,3 +68,7 @@ class timed:
             _RECORDS.append((name, ms))
             if _ENABLED:
                 print(f"{'·' * _DEPTH}{name}: {ms:.1f}ms", file=sys.stderr)
+            if profiling:
+                import jax
+
+                jax.profiler.stop_trace()
