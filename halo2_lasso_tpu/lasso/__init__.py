@@ -137,8 +137,10 @@ def prove(
     table: LassoTable,
     indices: Sequence[int],
     transcript,
+    pcs=MultilinearKzg,
 ) -> None:
-    """Prove that outputs[i] = T[indices[i]] for all i."""
+    """Prove that outputs[i] = T[indices[i]] for all i. Generic over any
+    additive PCS whose FIELD is Fr (pcs.rs-style class; default KZG)."""
     spec = Fr
     wit = build_witness(table, indices)
     alpha = len(table.memories)
@@ -154,10 +156,10 @@ def prove(
         fc_polys = [jnp.asarray(spec.encode(f.astype(object))) for f in wit.final_cts]
     m_sized = [a_poly] + dim_polys + e_polys + ts_polys
     with timed.scope("lasso_commit"):
-        m_comms = MultilinearKzg.batch_commit(pp, m_sized)
-        n_comms = MultilinearKzg.batch_commit(pp, fc_polys)
-    transcript.write_commitments(m_comms)
-    transcript.write_commitments(n_comms)
+        m_comms = pcs.batch_commit(pp, m_sized)
+        n_comms = pcs.batch_commit(pp, fc_polys)
+    pcs.write_commitments(m_comms, transcript)
+    pcs.write_commitments(n_comms, transcript)
 
     # ---- primary sumcheck ----
     r = transcript.squeeze_challenges(nv_m)
@@ -237,7 +239,7 @@ def prove(
             evals.append(Evaluation(poly_idx, 2, val))
         transcript.write_field_elements(xm_vals)
     with timed.scope("lasso_batch_open_m"):
-        MultilinearKzg.batch_open(pp, polys, None, points, evals, transcript)
+        pcs.batch_open(pp, polys, None, points, evals, transcript)
 
     # final_cts at x_n
     n_evals = []
@@ -248,7 +250,7 @@ def prove(
                 Evaluation(j, 0, _decode_scalar(mle.evaluate(spec, poly, xn)))
             )
         transcript.write_field_elements([e.value for e in n_evals])
-        MultilinearKzg.batch_open(pp, fc_polys, None, [x_n], n_evals, transcript)
+        pcs.batch_open(pp, fc_polys, None, [x_n], n_evals, transcript)
 
 
 @timed("lasso_verify")
@@ -257,6 +259,7 @@ def verify(
     table: LassoTable,
     num_lookup_vars: int,
     transcript,
+    pcs=MultilinearKzg,
 ) -> None:
     """Verify a Lasso proof; raises LassoError on rejection."""
     spec = Fr
@@ -265,8 +268,8 @@ def verify(
     nv_n = table.memories[0].subtable.index_bits
     num_m_polys = 1 + table.num_chunks + 2 * alpha
 
-    m_comms = transcript.read_commitments(num_m_polys)
-    n_comms = transcript.read_commitments(alpha)
+    m_comms = pcs.read_commitments(vp, num_m_polys, transcript)
+    n_comms = pcs.read_commitments(vp, alpha, transcript)
 
     r = transcript.squeeze_challenges(nv_m)
     v = transcript.read_field_element()
@@ -318,7 +321,7 @@ def verify(
         if h_rs != q_m[j] or h_ws != q_m[alpha + j]:
             raise LassoError(f"fingerprint opening mismatch (memory {j})")
 
-    MultilinearKzg.batch_verify(
+    pcs.batch_verify(
         vp, m_comms, [list(r), x_primary, x_m], evals, transcript
     )
 
@@ -335,7 +338,7 @@ def verify(
         if h_init != q_n[j] or h_final != q_n[alpha + j]:
             raise LassoError(f"init/final fingerprint mismatch (memory {j})")
 
-    MultilinearKzg.batch_verify(vp, n_comms, [x_n], n_evals, transcript)
+    pcs.batch_verify(vp, n_comms, [x_n], n_evals, transcript)
 
 
 def _subtable_mle_eval(subtable, x: Sequence[int]) -> int:

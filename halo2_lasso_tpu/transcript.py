@@ -65,14 +65,14 @@ class Keccak256Transcript:
     def common_commitment(self, comm: Tuple[int, int]):
         """Absorb an affine EC point (x, y) in base-field canonical ints.
 
-        NOTE: the reference rejects the identity here (coordinates() is None
-        for infinity); we mirror by rejecting (0, 0). Raises TranscriptError
-        (not assert) so a malformed proof is cleanly rejected and the check
-        survives `python -O`.
+        (0, 0) encodes the IDENTITY point: for b != 0 curves no real point
+        has x = y = 0 (0 != b), so the marker is collision-free and sound.
+        Identity commitments arise legitimately (a committed zero poly —
+        e.g. Lasso read_ts when every lookup address is fresh); the
+        reference errors on them (coordinates() is None), which is a
+        capability gap rather than behavior worth mirroring.
         """
         x, y = comm
-        if x == 0 and y == 0:
-            raise TranscriptError("identity commitment cannot be absorbed")
         self._state.update(int(x).to_bytes(self._repr_bytes, "little"))
         self._state.update(int(y).to_bytes(self._repr_bytes, "little"))
 
@@ -133,7 +133,8 @@ class Keccak256Transcript:
         y = int.from_bytes(self._read_exact(self._repr_bytes), "big")
         if x >= self.base_modulus or y >= self.base_modulus:
             raise TranscriptError("invalid point encoding in proof")
-        if self.curve_b is not None:
+        if self.curve_b is not None and not (x == 0 and y == 0):
+            # (0, 0) is the identity marker (see common_commitment)
             p = self.base_modulus
             if (y * y - x * x * x - self.curve_b) % p != 0:
                 raise TranscriptError("off-curve point in proof")

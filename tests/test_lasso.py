@@ -115,3 +115,27 @@ def test_subtable_closed_form_mle_matches_fold():
             for trial in range(3):
                 x = [int(RNG.randint(1 << 30)) % P for _ in range(sub.index_bits)]
                 assert sub.mle_eval(x) == fold_eval(sub, x), sub.name
+
+
+def test_lasso_over_gemini():
+    """Lasso generic over the PCS (north-star parity with the reference's
+    Pcs-generic Lasso): same protocol backed by Gemini instead of KZG."""
+    from halo2_lasso_tpu.pcs.gemini import Gemini
+
+    table = range_table(16, 8)
+    indices = [int(v) for v in RNG.randint(0, 1 << 16, size=8)]
+    nv_m = (len(indices)).bit_length() - 1
+    nv = max(nv_m, table.memories[0].subtable.index_bits)
+    param = Gemini.setup(1 << nv, np.random.RandomState(3))
+    pp, vp = Gemini.trim(param, 1 << nv)
+    tw = new_t()
+    prove(pp, table, indices, tw, pcs=Gemini)
+    proof = tw.into_proof()
+    tr = new_t(proof)
+    verify(vp, table, nv_m, tr, pcs=Gemini)
+
+    bad = bytearray(proof)
+    bad[len(bad) // 3] ^= 1
+    tr2 = new_t(bytes(bad))
+    with pytest.raises(Exception):
+        verify(vp, table, nv_m, tr2, pcs=Gemini)

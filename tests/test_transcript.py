@@ -34,12 +34,13 @@ def test_off_curve_point_rejected():
         rtx(t.into_proof()).read_commitment()
 
 
-def test_identity_commitment_rejected():
-    proof = (0).to_bytes(32, "big") * 2
-    with pytest.raises(TranscriptError):
-        rtx(proof).read_commitment()
-    with pytest.raises(TranscriptError, match="identity"):
-        wtx().write_commitment((0, 0))
+def test_identity_commitment_roundtrip():
+    """(0, 0) is the sound identity marker (no real point of y^2 = x^3 + b,
+    b != 0, has x = y = 0): it must survive a write/read round trip — zero
+    polys commit to the identity (e.g. Lasso read_ts with fresh addresses)."""
+    t = wtx()
+    t.write_commitment((0, 0))
+    assert rtx(t.into_proof()).read_commitment() == (0, 0)
 
 
 def test_oversized_coordinate_rejected():
