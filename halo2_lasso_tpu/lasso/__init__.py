@@ -149,11 +149,13 @@ def prove(
 
     # ---- encode + commit ----
     with timed.scope("lasso_encode"):
-        a_poly = jnp.asarray(spec.encode(wit.outputs))
-        dim_polys = [jnp.asarray(spec.encode(d.astype(object))) for d in wit.dims]
-        e_polys = [jnp.asarray(spec.encode(e)) for e in wit.e_vals]
-        ts_polys = [jnp.asarray(spec.encode(t.astype(object))) for t in wit.read_ts]
-        fc_polys = [jnp.asarray(spec.encode(f.astype(object))) for f in wit.final_cts]
+        # vectorized host limb extraction + device Montgomery conversion:
+        # the per-element python encode loop is minutes at 2^20 lookups
+        a_poly = F.encode_dev(spec, wit.outputs)
+        dim_polys = [F.encode_dev(spec, d) for d in wit.dims]
+        e_polys = [F.encode_dev(spec, e) for e in wit.e_vals]
+        ts_polys = [F.encode_dev(spec, t) for t in wit.read_ts]
+        fc_polys = [F.encode_dev(spec, f) for f in wit.final_cts]
     m_sized = [a_poly] + dim_polys + e_polys + ts_polys
     with timed.scope("lasso_commit"):
         m_comms = pcs.batch_commit(pp, m_sized)
