@@ -102,9 +102,11 @@ class HyperPlonk:
         num_vars = circuit_info.k
         pcs_pp, pcs_vp = cls.Pcs.trim(param, 1 << num_vars)
 
+        from halo2_lasso_tpu.ops import field as F
+
         spec = cls.field()
         preprocess_polys = [
-            jnp.asarray(spec.encode(vals)) for vals in circuit_info.preprocess_polys
+            F.encode_dev(spec, vals) for vals in circuit_info.preprocess_polys
         ]
         preprocess_comms = cls.Pcs.batch_commit(pcs_pp, preprocess_polys)
 
@@ -112,7 +114,7 @@ class HyperPlonk:
         perm_values = preprocessor.permutation_polys_values(
             num_vars, perm_poly_indices, circuit_info.permutations
         )
-        permutation_polys = [jnp.asarray(spec.encode(v)) for v in perm_values]
+        permutation_polys = [F.encode_dev(spec, v) for v in perm_values]
         permutation_comms = cls.Pcs.batch_commit(pcs_pp, permutation_polys)
 
         num_permutation_z_polys, expression = preprocessor.compose(circuit_info)
@@ -165,8 +167,10 @@ class HyperPlonk:
             assert len(inst) == num
             for v in inst:
                 transcript.common_field_element(v)
+        from halo2_lasso_tpu.ops import field as F
+
         instance_polys = [
-            jnp.asarray(spec.encode(prover.instance_poly_values(num_vars, inst, spec)))
+            F.encode_dev(spec, prover.instance_poly_values(num_vars, inst, spec))
             for inst in instances
         ]
 
@@ -180,7 +184,7 @@ class HyperPlonk:
             with timed.scope(f"witness_collector-{round_}"):
                 cols = circuit.synthesize(round_, challenges)
                 assert len(cols) == num_w
-                polys_r = [jnp.asarray(spec.encode(c)) for c in cols]
+                polys_r = [F.encode_dev(spec, c) for c in cols]
             comms = cls.Pcs.batch_commit(pp.pcs, polys_r)
             cls.Pcs.write_commitments(comms, transcript)
             witness_comms.extend(comms)
