@@ -83,6 +83,34 @@ def _pallas_selftest() -> str:
     return "pass:byte-equal" if pa == pj else "FAIL"
 
 
+def _msm_bench(k: int = 16):
+    """Warm-timed batched-affine MSM at 2^k (BENCH_MSM=1; off by default:
+    first compile through the tunnel is minutes)."""
+    import time as _time
+
+    import numpy as _np
+
+    from halo2_lasso_tpu.ops import ec, msm_affine
+    from halo2_lasso_tpu.ops.bn254 import Fr
+
+    n = 1 << k
+    rng = _np.random.RandomState(5)
+    ms = [int(v) for v in rng.randint(1, 1 << 30, size=n)]
+    pts = ec.fixed_base_msm(ec.g1_generator(), jnp.asarray(Fr.encode(ms)), 30)
+    sc = [int.from_bytes(rng.bytes(40), "little") % Fr.modulus for _ in range(n)]
+    scal = jnp.asarray(Fr.encode(sc))
+    for _ in range(2):
+        r = msm_affine.msm_affine(pts, scal)
+        jax.block_until_ready(r["x"])
+    iters = 3
+    t0 = _time.time()
+    for _ in range(iters):
+        r = msm_affine.msm_affine(pts, scal)
+        jax.block_until_ready(r["x"])
+    dt = (_time.time() - t0) / iters
+    return {"msm_k": k, "msm_ms": round(dt * 1e3, 1), "msm_points_per_s": round(n / dt, 1)}
+
+
 def main():
     from __graft_entry__ import _flagship_round
     from halo2_lasso_tpu.expression import evaluate_jnp
@@ -127,6 +155,11 @@ def main():
                     "unit": "hypercube points/s (vanilla-plonk round msg+fold, fused pallas)",
                     "vs_baseline": round(points_per_s / REFERENCE_POINTS_PER_S, 4),
                     "pallas_selftest": _pallas_selftest(),
+                    **(
+                        _msm_bench()
+                        if os.environ.get("BENCH_MSM", "0") == "1"
+                        else {}
+                    ),
                 }
             )
         )
