@@ -117,3 +117,45 @@ def test_sharded_hyperplonk_proof_byte_identical(mesh):
 
     tr = new_transcript(proof_sharded)
     HyperPlonk.verify(vp, circuit.instances(), tr)
+
+
+def test_sharded_sumcheck_with_rotation_byte_identical(mesh):
+    """Rotated queries are pre-materialized into ordinary leaf tables before
+    the rounds, so the sharded prover must be agnostic to them — assert
+    byte-identical proofs with a rotation-1 query in the expression."""
+    from halo2_lasso_tpu.ops.bn254 import FQ_MODULUS
+    from halo2_lasso_tpu.piop import sum_check
+    from halo2_lasso_tpu.transcript import Keccak256Transcript
+
+    k = 6
+    e = (
+        Expression.poly(0, rotation=1) * Expression.poly(1)
+        + Expression.poly(0)
+    ) * Expression.eq_xy(0)
+    polys = [jnp.asarray(Fr.encode(rand_fes(1 << k))) for _ in range(2)]
+    y = rand_fes(k)
+
+    def leaf_host(values):
+        # host ground truth for the claimed sum
+        rot = np.asarray(mle.rotate_evals(Fr, polys[0], 1))
+        a = Fr.decode(rot)
+        b = Fr.decode(np.asarray(polys[1]))
+        c = Fr.decode(np.asarray(polys[0]))
+        eq = Fr.decode(np.asarray(mle.eq_xy(Fr, jnp.asarray(Fr.encode(y)))))
+        return sum(
+            (int(a[i]) * int(b[i]) + int(c[i])) * int(eq[i]) for i in range(1 << k)
+        ) % P
+
+    s = leaf_host(None)
+
+    def run(mesh_or_none):
+        tw = Keccak256Transcript(P, base_modulus=FQ_MODULUS, curve_b=3)
+        vp = sum_check.VirtualPolynomial(e, polys, [], [y])
+        if mesh_or_none is None:
+            sum_check.prove(Fr, k, vp, s, tw)
+        else:
+            with sh.use_mesh(mesh_or_none):
+                sum_check.prove(Fr, k, vp, s, tw)
+        return tw.into_proof()
+
+    assert run(mesh) == run(None)
