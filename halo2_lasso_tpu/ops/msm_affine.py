@@ -83,10 +83,17 @@ def mul_lf_traced(a: jnp.ndarray, b: jnp.ndarray, spec=Fq) -> jnp.ndarray:
 
 def mul_lf(a: jnp.ndarray, b: jnp.ndarray, spec=Fq) -> jnp.ndarray:
     """(L, X) elementwise Montgomery product: pallas tile kernel on the
-    accelerator (full-shape call sites only), XLA-traced rows otherwise."""
+    accelerator (full-shape call sites only), XLA-traced rows otherwise.
+    The pallas grid requires the sublane-row count S = X/128 to be covered
+    exactly (tile = min(TILE_S, S), grid = S//tile silently DROPS remainder
+    rows), so only dispatch when S <= TILE_S or TILE_S | S."""
     n = a.shape[1]
     if _on_accel() and n % LANE == 0 and n >= _PALLAS_MIN:
-        return _pallas_mul(n, spec)(a, b)
+        from halo2_lasso_tpu.ops.pallas_field import TILE_S
+
+        S = n // LANE
+        if S <= TILE_S or S % TILE_S == 0:
+            return _pallas_mul(n, spec)(a, b)
     return mul_lf_traced(a, b, spec)
 
 
@@ -120,30 +127,62 @@ def _one_lf(n, spec=Fq):
 def batch_inv_lf(a: jnp.ndarray, spec=Fq) -> jnp.ndarray:
     """(L, X) batched modular inverse (zeros -> zeros).
 
-    Accelerator: log-depth prefix/suffix product scans + ONE Fermat
-    inversion (the scans fuse into the level module). CPU: the sequential
-    Montgomery trick under lax.scan — a tiny jitted module per shape
-    (work-optimal 3 muls/element; the eager log-depth scans otherwise
-    create hundreds of per-slice-shape executables, which this jaxlib's
-    long-session compile instability cannot survive)."""
+    Accelerator: chunked Montgomery trick — lax.scan prefix/suffix products
+    over T sequential steps of X/T lanes each (work-optimal ~3 muls/element,
+    and the scan body is traced ONCE so level modules stay small; the
+    earlier log-depth associative scans unrolled into giant modules that
+    took this jaxlib tens of minutes to compile at 2^16 MSM sizes). CPU:
+    the fully sequential Montgomery trick under lax.scan."""
     n = a.shape[1]
     zero = _iszero_lf(a)
     aa = jnp.where(zero[None, :], _one_lf(n, spec), a)
     if not _on_accel():
         inv = _batch_inv_seq(spec)(aa)
         return jnp.where(zero[None, :], jnp.zeros_like(inv), inv)
-    mulc = functools.partial(mul_lf_traced, spec=spec)
-    prefix = jax.lax.associative_scan(mulc, aa, axis=1)
-    suffix = jax.lax.associative_scan(mulc, aa, axis=1, reverse=True)
-    total_inv = jnp.transpose(
-        F.inv(spec, jnp.transpose(prefix[:, -1:], (1, 0))), (1, 0)
-    )
-    pre_exc = jnp.concatenate([_one_lf(1, spec), prefix[:, :-1]], axis=1)
-    suf_exc = jnp.concatenate([suffix[:, 1:], _one_lf(1, spec)], axis=1)
-    inv = mul_lf(
-        mul_lf(pre_exc, suf_exc, spec), jnp.broadcast_to(total_inv, (L, n)), spec
-    )
+    inv = _batch_inv_lanes(aa, spec)
     return jnp.where(zero[None, :], jnp.zeros_like(inv), inv)
+
+
+def _batch_inv_lanes(aa: jnp.ndarray, spec=Fq) -> jnp.ndarray:
+    """(L, m) batched inverse of nonzero elements, platform-agnostic math.
+
+    m <= _INV_SCAN_BASE: log-depth prefix/suffix scans + one Fermat
+    inversion. Larger: reshape to (T, L, G) chunks, sequential-scan the
+    Montgomery trick across T with G lanes per step, recursing on the G
+    chunk totals."""
+    m = aa.shape[1]
+    mulc = functools.partial(mul_lf_traced, spec=spec)
+    # T = largest power of two dividing m, capped at 64
+    T = min(64, m & -m)
+    if m <= _INV_SCAN_BASE or T < 2:
+        prefix = jax.lax.associative_scan(mulc, aa, axis=1)
+        suffix = jax.lax.associative_scan(mulc, aa, axis=1, reverse=True)
+        total_inv = jnp.transpose(
+            F.inv(spec, jnp.transpose(prefix[:, -1:], (1, 0))), (1, 0)
+        )
+        pre_exc = jnp.concatenate([_one_lf(1, spec), prefix[:, :-1]], axis=1)
+        suf_exc = jnp.concatenate([suffix[:, 1:], _one_lf(1, spec)], axis=1)
+        return mulc(
+            mulc(pre_exc, suf_exc), jnp.broadcast_to(total_inv, (L, m))
+        )
+    G = m // T
+    xs = jnp.transpose(aa.reshape(L, T, G), (1, 0, 2))  # (T, L, G)
+
+    def fwd(carry, x):
+        return mulc(carry, x), carry  # emit EXCLUSIVE prefix product
+
+    total, pre_exc = jax.lax.scan(fwd, _one_lf(G, spec), xs)
+    tinv = _batch_inv_lanes(total, spec)
+
+    def bwd(carry, x_pexc):
+        x, pexc = x_pexc
+        return mulc(carry, x), mulc(carry, pexc)
+
+    _, invs = jax.lax.scan(bwd, tinv, (xs, pre_exc), reverse=True)
+    return jnp.transpose(invs, (1, 0, 2)).reshape(L, m)
+
+
+_INV_SCAN_BASE = 2048
 
 
 @functools.lru_cache(maxsize=None)
@@ -192,7 +231,13 @@ def _eq_lf(a, b, spec=Fq):
 def _level_step(ax, ay, inf, dig, bx, by, binf, B, W, spec=Fq):
     """One halving level. ax/ay: (L, m) per flattened (W, m/W) slot array
     (m = W * mw lanes), dig/inf: (m,). Returns halved state + updated
-    buckets ((L, W*B), (W*B,))."""
+    buckets ((L, W*B), (W*B,)).
+
+    Every lane performs at most ONE affine add: a same-digit pair combines
+    (xa,ya)+(xb,yb), while a digit boundary flushes the run-end `a` into
+    its bucket as (gx,gy)+(xa,ya) — the two cases are mutually exclusive,
+    so they share one operand-selected add and one half-size inversion
+    batch (vs two adds + a full-size batch when handled separately)."""
     m = ax.shape[1]
     half = m // 2
     # adjacent pairs: slots (2i, 2i+1) — contiguous, window-aligned because
@@ -204,26 +249,6 @@ def _level_step(ax, ay, inf, dig, bx, by, binf, B, W, spec=Fq):
 
     same = da == db
     a_fin = jnp.logical_not(ia)
-    b_fin = jnp.logical_not(ib)
-    pair_act = jnp.logical_and(same, jnp.logical_and(a_fin, b_fin))
-    x_eq = jnp.logical_and(pair_act, _eq_lf(xa, xb, spec))
-    y_eq = jnp.logical_and(x_eq, _eq_lf(ya, yb, spec))
-    dbl = y_eq
-    cancel = jnp.logical_and(x_eq, jnp.logical_not(y_eq))
-    gen = jnp.logical_and(pair_act, jnp.logical_not(x_eq))
-
-    den_pair = jnp.where(
-        dbl[None, :], add_lf(ya, ya, spec), sub_lf(xb, xa, spec)
-    )
-    den_pair = jnp.where(
-        jnp.logical_or(gen, dbl)[None, :], den_pair, _one_lf(half, spec)
-    )
-    xa2 = mul_lf(xa, xa, spec)
-    num_pair = jnp.where(
-        dbl[None, :],
-        add_lf(add_lf(xa2, xa2, spec), xa2, spec),
-        sub_lf(yb, ya, spec),
-    )
 
     # flush lane prep: a flushed into bucket da when digits differ
     flush = jnp.logical_and(jnp.logical_not(same), a_fin)
@@ -232,35 +257,44 @@ def _level_step(ax, ay, inf, dig, bx, by, binf, B, W, spec=Fq):
     gx = jnp.take(bx, jnp.minimum(bslot, W * B - 1), axis=1)
     gy = jnp.take(by, jnp.minimum(bslot, W * B - 1), axis=1)
     ginf = jnp.take(binf, jnp.minimum(bslot, W * B - 1))
-    acc_act = jnp.logical_and(flush, jnp.logical_not(ginf))
-    bx_eq = jnp.logical_and(acc_act, _eq_lf(gx, xa, spec))
-    by_eq = jnp.logical_and(bx_eq, _eq_lf(gy, ya, spec))
-    bdbl = by_eq
-    bcancel = jnp.logical_and(bx_eq, jnp.logical_not(by_eq))
-    bgen = jnp.logical_and(acc_act, jnp.logical_not(bx_eq))
-    den_acc = jnp.where(
-        bdbl[None, :], add_lf(gy, gy, spec), sub_lf(xa, gx, spec)
-    )
-    den_acc = jnp.where(
-        jnp.logical_or(bgen, bdbl)[None, :], den_acc, _one_lf(half, spec)
-    )
-    gx2 = mul_lf(gx, gx, spec)
-    num_acc = jnp.where(
-        bdbl[None, :], add_lf(add_lf(gx2, gx2, spec), gx2, spec), sub_lf(ya, gy, spec)
-    )
 
-    # ONE inversion batch for both halves of the level
-    invs = batch_inv_lf(jnp.concatenate([den_pair, den_acc], axis=1), spec)
-    inv_pair, inv_acc = invs[:, :half], invs[:, half:]
-
-    # pair survivors
-    x3, y3 = _affine_add_with_inv(xa, ya, xb, yb, num_pair, inv_pair, spec)
+    # unified add operands: P + Q
+    #   same  -> P = (xa, ya), Q = (xb, yb)   [pair combine]
+    #   flush -> P = (gx, gy), Q = (xa, ya)   [bucket accumulate]
+    sm = same[None, :]
+    px = jnp.where(sm, xa, gx)
+    py = jnp.where(sm, ya, gy)
+    qx = jnp.where(sm, xb, xa)
+    qy = jnp.where(sm, yb, ya)
+    act = jnp.where(
+        same,
+        jnp.logical_and(a_fin, jnp.logical_not(ib)),
+        jnp.logical_and(flush, jnp.logical_not(ginf)),
+    )
+    x_eq = jnp.logical_and(act, _eq_lf(px, qx, spec))
+    y_eq = jnp.logical_and(x_eq, _eq_lf(py, qy, spec))
+    dbl = y_eq
+    cancel = jnp.logical_and(x_eq, jnp.logical_not(y_eq))
+    gen = jnp.logical_and(act, jnp.logical_not(x_eq))
     comb = jnp.logical_or(gen, dbl)
+
+    den = jnp.where(dbl[None, :], add_lf(py, py, spec), sub_lf(qx, px, spec))
+    den = jnp.where(comb[None, :], den, _one_lf(half, spec))
+    px2 = mul_lf(px, px, spec)
+    num = jnp.where(
+        dbl[None, :],
+        add_lf(add_lf(px2, px2, spec), px2, spec),
+        sub_lf(qy, py, spec),
+    )
+    inv = batch_inv_lf(den, spec)
+    x3, y3 = _affine_add_with_inv(px, py, qx, qy, num, inv, spec)
+
+    # survivors: same-digit pairs -> combined (or pass-through / cancel);
+    # digit boundary -> b passes through untouched
     sx = jnp.where(comb[None, :], x3, jnp.where(ia[None, :], xb, xa))
     sy = jnp.where(comb[None, :], y3, jnp.where(ia[None, :], yb, ya))
-    # survivor when digits differ: b
-    sx = jnp.where(same[None, :], sx, xb)
-    sy = jnp.where(same[None, :], sy, yb)
+    sx = jnp.where(sm, sx, xb)
+    sy = jnp.where(sm, sy, yb)
     sinf = jnp.where(
         same,
         jnp.where(comb, False, jnp.where(cancel, True, jnp.logical_and(ia, ib))),
@@ -268,13 +302,11 @@ def _level_step(ax, ay, inf, dig, bx, by, binf, B, W, spec=Fq):
     )
     sdig = db
 
-    # bucket updates: flushed value lands as (bucket + a) or a (bucket empty)
-    nx, ny = _affine_add_with_inv(gx, gy, xa, ya, num_acc, inv_acc, spec)
-    bcomb = jnp.logical_or(bgen, bdbl)
-    ux = jnp.where(bcomb[None, :], nx, xa)
-    uy = jnp.where(bcomb[None, :], ny, ya)
-    uinf = jnp.where(bcomb, False, jnp.where(bcancel, True, ginf))
-    # empty bucket: take a directly (ginf True)
+    # bucket updates (flush lanes): bucket + a, a (bucket empty), or identity
+    # on cancellation
+    ux = jnp.where(comb[None, :], x3, xa)
+    uy = jnp.where(comb[None, :], y3, ya)
+    uinf = jnp.where(comb, False, jnp.where(cancel, True, ginf))
     ux = jnp.where(ginf[None, :], xa, ux)
     uy = jnp.where(ginf[None, :], ya, uy)
     uinf = jnp.where(jnp.logical_and(flush, ginf), False, uinf)
@@ -300,15 +332,21 @@ def _digits_all(scal: jnp.ndarray, c: int, num_windows: int) -> jnp.ndarray:
 
 
 def _best_c(n: int, nbits: int = 254) -> int:
-    """Minimize muls: windows * (affine halving ~12 muls * 2n lanes +
-    jacobian bucket scan ~54 muls * 2^c)."""
-    best, best_cost = 8, None
-    for c in range(8, 17):
-        windows = -(-nbits // c)
-        cost = windows * (12 * 2 * n + 54 * (1 << c))
-        if best_cost is None or cost < best_cost:
-            best, best_cost = c, cost
-    return best
+    """Window size. A per-size optimum (minimize windows * (merged-add
+    affine halving ~7 muls * n lanes + jacobian bucket scan ~54 muls *
+    2^c)) varies by only ~15% across 2^12..2^20 — but every distinct c
+    changes W and with it EVERY level-module shape, forcing a fresh
+    ~3-minute XLA compile per level per MSM size. A PINNED c makes the
+    level shapes of a size-n MSM exactly the tail of the size-2n MSM's
+    (lanes = W * n / 2^j), so the prover's many mixed-size MSMs (commits,
+    quotients at every size) share ONE compile set. Override for sweeps:
+    HALO2_LASSO_TPU_MSM_C."""
+    import os
+
+    env = os.environ.get("HALO2_LASSO_TPU_MSM_C")
+    if env:
+        return int(env)
+    return 10
 
 
 def _jacobian_bucket_sum(bx, by, binf, W: int, B: int, spec=Fq) -> Dict:
@@ -352,11 +390,14 @@ def _jacobian_bucket_sum(bx, by, binf, W: int, B: int, spec=Fq) -> Dict:
 def _prologue_fn(c: int, W: int, base=Fq, scalar=Fr):
     def f(points_x, points_y, points_z, scalars_mont):
         scal = F.from_mont(scalar, scalars_mont)
-        zinv = F.batch_inv(base, points_z)
-        zi2 = F.mont_mul(base, zinv, zinv)
-        ax0 = jnp.transpose(F.mont_mul(base, points_x, zi2), (1, 0))  # (L, n)
-        ay0 = jnp.transpose(
-            F.mont_mul(base, points_y, F.mont_mul(base, zi2, zinv)), (1, 0)
+        # jacobian -> affine limbs-first: chunked batch inversion (small
+        # modules) + tile-kernel muls; zeros (identity points) -> zeros
+        zt = jnp.transpose(points_z, (1, 0))  # (L, n)
+        zinv = batch_inv_lf(zt, base)
+        zi2 = mul_lf_traced(zinv, zinv, base)
+        ax0 = mul_lf_traced(jnp.transpose(points_x, (1, 0)), zi2, base)
+        ay0 = mul_lf_traced(
+            jnp.transpose(points_y, (1, 0)), mul_lf_traced(zi2, zinv, base), base
         )
         inf0 = F.is_zero(base, points_z)
 

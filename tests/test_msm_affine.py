@@ -63,3 +63,21 @@ def test_opposite_points_cancel():
     ra = ec.jacobian_to_affine({k: v[None] for k, v in ref.items()})
     ga = ec.jacobian_to_affine({k: v[None] for k, v in got.items()})
     assert (ra == ga).all()
+
+
+@pytest.mark.parametrize("m", [64, 2048, 4096, 12288, 2816])
+def test_batch_inv_lanes(m):
+    """Chunked Montgomery batch inversion (the accelerator path of
+    batch_inv_lf): a * inv(a) == 1 across the base (<= _INV_SCAN_BASE),
+    chunked (T=64 recursion), and non-power-of-two (12288 = 3*2^12,
+    2816 = 11*2^8) shapes the halving-tree levels produce."""
+    from halo2_lasso_tpu.ops.bn254 import Fq
+
+    vals = [
+        (int.from_bytes(RNG.bytes(40), "little") % (Fq.modulus - 1)) + 1
+        for _ in range(m)
+    ]
+    a = jnp.transpose(jnp.asarray(Fq.encode(vals)), (1, 0))  # (L, m)
+    inv = msm_affine._batch_inv_lanes(a, Fq)
+    prod = msm_affine.mul_lf_traced(a, inv, Fq)
+    assert (np.asarray(prod) == np.asarray(msm_affine._one_lf(m, Fq))).all()

@@ -144,3 +144,24 @@ def test_pallas_msm_matches_jnp():
         {k: v[None] for k, v in ec._msm_impl(pts, scal_can, 16).items()}
     )
     assert (int(got[0, 0]), int(got[0, 1])) == (int(expect[0, 0]), int(expect[0, 1]))
+
+
+def test_msm_affine_matches_jnp_on_chip():
+    """Production batched-affine MSM (gen-3) on-chip parity with the
+    portable Pippenger — covers the merged pair/flush add, the chunked
+    batch inversion, and the tile-guarded pallas mul dispatch at level
+    shapes whose sublane-row counts are not TILE_S-aligned."""
+    from halo2_lasso_tpu.ops import ec, field as F, msm_affine
+
+    n = 1 << 12
+    ms = jnp.asarray(Fr.encode(rand_fes(n)))
+    pts = ec.fixed_base_msm(ec.g1_generator(), ms, 256)
+    scalars = jnp.asarray(Fr.encode(rand_fes(n)))
+    got = ec.jacobian_to_affine(
+        {k: v[None] for k, v in msm_affine.msm_affine(pts, scalars).items()}
+    )
+    scal_can = F.from_mont(Fr, scalars)
+    expect = ec.jacobian_to_affine(
+        {k: v[None] for k, v in ec._msm_impl(pts, scal_can, 16).items()}
+    )
+    assert (int(got[0, 0]), int(got[0, 1])) == (int(expect[0, 0]), int(expect[0, 1]))
