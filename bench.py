@@ -39,7 +39,11 @@ _cc.zstandard = None
 # mismatch); keep only the jax-level executable cache
 jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
-K = int(os.environ.get("BENCH_K", "18"))
+# default size 2^20: the smallest size the reference's own zero-check bench
+# sweeps (plonkish_backend/benches/zero_check.rs:23 benches num_vars 20..24);
+# at k<=18 the per-iteration host sync through the device tunnel dominates
+# the measurement rather than the kernel
+K = int(os.environ.get("BENCH_K", "20"))
 REFERENCE_POINTS_PER_S = 4.2e6  # pinned CPU estimate, see BASELINE.md
 
 
@@ -111,6 +115,16 @@ def _msm_bench(k: int = 16):
     return {"msm_k": k, "msm_ms": round(dt * 1e3, 1), "msm_points_per_s": round(n / dt, 1)}
 
 
+def _msm_bench_guarded():
+    """MSM metric, best-effort: never let an MSM-side failure (e.g. a cold
+    compile hitting the image's jaxlib instability) take down the flagship
+    metric line. Opt out with BENCH_MSM=0."""
+    try:
+        return _msm_bench()
+    except Exception as e:  # pragma: no cover
+        return {"msm_error": f"{type(e).__name__}: {e}"[:200]}
+
+
 def main():
     from __graft_entry__ import _flagship_round
     from halo2_lasso_tpu.expression import evaluate_jnp
@@ -156,8 +170,8 @@ def main():
                     "vs_baseline": round(points_per_s / REFERENCE_POINTS_PER_S, 4),
                     "pallas_selftest": _pallas_selftest(),
                     **(
-                        _msm_bench()
-                        if os.environ.get("BENCH_MSM", "0") == "1"
+                        _msm_bench_guarded()
+                        if os.environ.get("BENCH_MSM", "1") == "1"
                         else {}
                     ),
                 }

@@ -146,26 +146,27 @@ def batch_inv_lf(a: jnp.ndarray, spec=Fq) -> jnp.ndarray:
 def _batch_inv_lanes(aa: jnp.ndarray, spec=Fq) -> jnp.ndarray:
     """(L, m) batched inverse of nonzero elements, platform-agnostic math.
 
-    m <= _INV_SCAN_BASE: log-depth prefix/suffix scans + one Fermat
-    inversion. Larger: reshape to (T, L, G) chunks, sequential-scan the
-    Montgomery trick across T with G lanes per step, recursing on the G
-    chunk totals."""
+    Chunked Montgomery trick with FIXED chunk widths: pad m up to T*G
+    (pads are ones), sequential-scan the prefix/suffix products across T
+    steps of G lanes, recurse on the G chunk totals, terminate with a
+    batch Fermat pow (fori-loop: tiny graph) at m <= 256.
+
+    Compile-shape discipline is the point: this jaxlib's XLA:TPU backend
+    takes ~20s PER inlined mont_mul graph instance, so unrolled
+    associative scans (2*log m instances) took 200s+ per module. Here a
+    module contains two lax.scan bodies (one mul each, traced once) whose
+    operand shape is one of exactly two widths (4096 / 256) shared by
+    every level of every MSM size — the mul kernel inside is reused, and
+    the padding (< G ones per level) is noise."""
     m = aa.shape[1]
-    mulc = functools.partial(mul_lf_traced, spec=spec)
-    # T = largest power of two dividing m, capped at 64
-    T = min(64, m & -m)
-    if m <= _INV_SCAN_BASE or T < 2:
-        prefix = jax.lax.associative_scan(mulc, aa, axis=1)
-        suffix = jax.lax.associative_scan(mulc, aa, axis=1, reverse=True)
-        total_inv = jnp.transpose(
-            F.inv(spec, jnp.transpose(prefix[:, -1:], (1, 0))), (1, 0)
-        )
-        pre_exc = jnp.concatenate([_one_lf(1, spec), prefix[:, :-1]], axis=1)
-        suf_exc = jnp.concatenate([suffix[:, 1:], _one_lf(1, spec)], axis=1)
-        return mulc(
-            mulc(pre_exc, suf_exc), jnp.broadcast_to(total_inv, (L, m))
-        )
-    G = m // T
+    if m <= _INV_FERMAT_MAX:
+        return _inv_fermat_lf(aa, spec)
+    G = 4096 if m > 16384 else 256
+    T = -(-m // G)
+    pad = T * G - m
+    if pad:
+        aa = jnp.concatenate([aa, _one_lf(pad, spec)], axis=1)
+    mulc = functools.partial(mul_lf, spec=spec)
     xs = jnp.transpose(aa.reshape(L, T, G), (1, 0, 2))  # (T, L, G)
 
     def fwd(carry, x):
@@ -179,10 +180,32 @@ def _batch_inv_lanes(aa: jnp.ndarray, spec=Fq) -> jnp.ndarray:
         return mulc(carry, x), mulc(carry, pexc)
 
     _, invs = jax.lax.scan(bwd, tinv, (xs, pre_exc), reverse=True)
-    return jnp.transpose(invs, (1, 0, 2)).reshape(L, m)
+    return jnp.transpose(invs, (1, 0, 2)).reshape(L, T * G)[:, :m]
 
 
-_INV_SCAN_BASE = 2048
+_INV_FERMAT_MAX = 256
+
+
+def _inv_fermat_lf(aa: jnp.ndarray, spec=Fq) -> jnp.ndarray:
+    """(L, m) Fermat inversion a^{p-2}, limbs-first square-and-multiply
+    under a fori_loop (graph = 2 muls; ~2*254 sequential muls at runtime,
+    fine at the <= 256-lane recursion terminal)."""
+    e = spec.modulus - 2
+    nbits = e.bit_length()
+    bits = jnp.asarray(
+        np.array([(e >> i) & 1 for i in range(nbits)], dtype=np.uint32)
+    )
+
+    def body(i, state):
+        result, base = state
+        nr = mul_lf(result, base, spec)
+        result = jnp.where(bits[i] == 1, nr, result)
+        base = mul_lf(base, base, spec)
+        return result, base
+
+    one = _one_lf(aa.shape[1], spec)
+    result, _ = jax.lax.fori_loop(0, nbits, body, (one, aa))
+    return result
 
 
 @functools.lru_cache(maxsize=None)
@@ -349,10 +372,49 @@ def _best_c(n: int, nbits: int = 254) -> int:
     return 10
 
 
+def _weighted_sum_seq(seq: Dict, spec=Fq) -> Dict:
+    """seq: batch-major point dict (K, Wl, L) -> (Wl, L): sum_k k * P_k.
+
+    Sequential lax.scan over k = K-1 .. 1 carrying (accT, accR):
+    accT = sum_{j>=k} P_j (suffix sum), accR accumulates the accTs, so the
+    final accR = sum_{k>=1} suffix_k = sum_k k*P_k. The scan body is traced
+    ONCE (2 ec_adds) — the earlier unrolled associative scans produced
+    modules this jaxlib took tens of minutes to compile."""
+    K, Wl = seq["x"].shape[:2]
+    idp = jec.identity_point((Wl,), spec)
+
+    def step(carry, x):
+        accT, accR = carry
+        accT = jec.ec_add(accT, x, spec)
+        accR = jec.ec_add(accR, accT, spec)
+        return (accT, accR), None
+
+    xs = {k: v[1:][::-1] for k, v in seq.items()}
+    (_, accR), _ = jax.lax.scan(step, (idp, idp), xs)
+    return accR
+
+
+def _sum_seq(seq: Dict, spec=Fq) -> Dict:
+    """seq (K, ..., L) -> (..., L): plain sum via sequential scan."""
+    shape = seq["x"].shape[1:-1]
+    idp = jec.identity_point(shape, spec)
+
+    def step(carry, x):
+        return jec.ec_add(carry, x, spec), None
+
+    total, _ = jax.lax.scan(step, idp, seq)
+    return total
+
+
 def _jacobian_bucket_sum(bx, by, binf, W: int, B: int, spec=Fq) -> Dict:
     """(L, W*B) affine buckets -> per-window Jacobian total of
-    sum_b b * S_b, via reverse inclusive scan + tree reduce (batch-major
-    jnp combiner: correct everywhere; pallas combiner handled upstream)."""
+    sum_v v * S_v (batch-major jec combiner).
+
+    Chunked decomposition keeps every module a traced-once lax.scan body:
+    with v = q*T + r (S reshaped (G, T) row-major),
+        sum_v v*S_v = T * sum_q q*C_q + sum_r r*R_r
+    where C_q = sum_r S[q,r] (scan over T) and R_r = sum_q S[q,r] (scan
+    over G); the two weighted tails run on G- and T-length sequences."""
     # batch-major (W, B, L) for the jec combiner
     x = jnp.transpose(bx.reshape(L, W, B), (1, 2, 0))
     y = jnp.transpose(by.reshape(L, W, B), (1, 2, 0))
@@ -366,24 +428,19 @@ def _jacobian_bucket_sum(bx, by, binf, W: int, B: int, spec=Fq) -> Dict:
         "y": jnp.where(fin[..., None], y, one),
         "z": z,
     }
-    # suffix sums T_v: inclusive reverse scan over the bucket axis
-    addc = functools.partial(jec.ec_add, spec=spec)
-    suf = jax.lax.associative_scan(addc, pts, axis=1, reverse=True)
-    # sum_{v>=1} T_v = tree reduce of suf[:, 1:]
-    t = {k: v[:, 1:] for k, v in suf.items()}
-    m = B - 1
-    while m > 1:
-        if m % 2 == 1:
-            idp = jec.identity_point((t["x"].shape[0], 1), spec)
-            t = {k: jnp.concatenate([v, idp[k]], axis=1) for k, v in t.items()}
-            m += 1
-        t = jec.ec_add(
-            {k: v[:, 0::2] for k, v in t.items()},
-            {k: v[:, 1::2] for k, v in t.items()},
-            spec,
-        )
-        m //= 2
-    return {k: v[:, 0] for k, v in t.items()}
+    T = min(32, B)
+    G = B // T
+    s3 = {k: v.reshape(W, G, T, L) for k, v in pts.items()}
+    # C_q = sum over r: scan the T axis (leading); (W, G, L) out
+    c_q = _sum_seq({k: jnp.moveaxis(v, 2, 0) for k, v in s3.items()}, spec)
+    # R_r = sum over q: scan the G axis; (W, T, L) out
+    r_r = _sum_seq({k: jnp.moveaxis(v, 1, 0) for k, v in s3.items()}, spec)
+    # T * sum_q q*C_q  +  sum_r r*R_r   (sequences put K leading)
+    wc = _weighted_sum_seq({k: jnp.moveaxis(v, 1, 0) for k, v in c_q.items()}, spec)
+    wr = _weighted_sum_seq({k: jnp.moveaxis(v, 1, 0) for k, v in r_r.items()}, spec)
+    for _ in range(T.bit_length() - 1):
+        wc = jec.ec_double(wc, spec)
+    return jec.ec_add(wc, wr, spec)
 
 
 @functools.lru_cache(maxsize=None)
@@ -394,10 +451,10 @@ def _prologue_fn(c: int, W: int, base=Fq, scalar=Fr):
         # modules) + tile-kernel muls; zeros (identity points) -> zeros
         zt = jnp.transpose(points_z, (1, 0))  # (L, n)
         zinv = batch_inv_lf(zt, base)
-        zi2 = mul_lf_traced(zinv, zinv, base)
-        ax0 = mul_lf_traced(jnp.transpose(points_x, (1, 0)), zi2, base)
-        ay0 = mul_lf_traced(
-            jnp.transpose(points_y, (1, 0)), mul_lf_traced(zi2, zinv, base), base
+        zi2 = mul_lf(zinv, zinv, base)
+        ax0 = mul_lf(jnp.transpose(points_x, (1, 0)), zi2, base)
+        ay0 = mul_lf(
+            jnp.transpose(points_y, (1, 0)), mul_lf(zi2, zinv, base), base
         )
         inf0 = F.is_zero(base, points_z)
 
