@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import inspect
 from typing import Callable, List, Sequence, Tuple
 
 import numpy as np
@@ -184,6 +185,26 @@ def _eq_mle(b: int):
 # ---------------------------------------------------------------------------
 
 
+def _serializable(factory):
+    """Record the (factory name, bound kwargs) spec on the built table so a
+    Lasso setup can round-trip through utils/serialize.py — structured
+    tables carry no arrays, the spec IS the serialization."""
+
+    @functools.wraps(factory)
+    def wrapped(*args, **kwargs):
+        table = factory(*args, **kwargs)
+        bound = inspect.signature(factory).bind(*args, **kwargs)
+        bound.apply_defaults()
+        object.__setattr__(
+            table,
+            "spec",
+            {"factory": factory.__name__, "kwargs": dict(bound.arguments)},
+        )
+        return table
+
+    return wrapped
+
+
 def _weighted_sum(alpha: int, weight_bits: int) -> Expression:
     terms = [Expression.poly(j) * (1 << (weight_bits * j)) for j in range(alpha)]
     acc = terms[0]
@@ -192,6 +213,7 @@ def _weighted_sum(alpha: int, weight_bits: int) -> Expression:
     return acc
 
 
+@_serializable
 @functools.lru_cache(maxsize=None)
 def range_table(index_bits: int, chunk_bits: int = 16) -> LassoTable:
     """T[r] = r  (range check into [0, 2^index_bits))."""
@@ -236,21 +258,25 @@ def _operand_table(name: str, op, operand_bits: int, chunk_bits: int, mle_eval=N
     )
 
 
+@_serializable
 @functools.lru_cache(maxsize=None)
 def and_table(operand_bits: int = 32, chunk_bits: int = 8) -> LassoTable:
     return _operand_table("and", lambda x, y: x & y, operand_bits, chunk_bits, _and_mle(chunk_bits))
 
 
+@_serializable
 @functools.lru_cache(maxsize=None)
 def xor_table(operand_bits: int = 32, chunk_bits: int = 8) -> LassoTable:
     return _operand_table("xor", lambda x, y: x ^ y, operand_bits, chunk_bits, _xor_mle(chunk_bits))
 
 
+@_serializable
 @functools.lru_cache(maxsize=None)
 def or_table(operand_bits: int = 32, chunk_bits: int = 8) -> LassoTable:
     return _operand_table("or", lambda x, y: x | y, operand_bits, chunk_bits, _or_mle(chunk_bits))
 
 
+@_serializable
 @functools.lru_cache(maxsize=None)
 def lt_table(operand_bits: int = 32, chunk_bits: int = 8) -> LassoTable:
     """T[x||y] = 1 if x < y else 0 (unsigned).

@@ -103,6 +103,42 @@ def save_hyperplonk_params(path: str, pp, vp) -> None:
         json.dump(meta, f)
 
 
+# ---------------------------------------------------------------------------
+# Lasso setup (structured table spec + PCS params). Tables are closed-form
+# (Surge subtables materialize from their factory), so the spec — factory
+# name + kwargs — is the whole serialization (reference analogue:
+# backend.rs:18-19 bounds all params by serde; here the table side needs no
+# arrays at all).
+# ---------------------------------------------------------------------------
+
+
+def save_lasso_setup(path: str, table, params: KzgParams) -> None:
+    """Store a Lasso setup: the structured table's factory spec + KZG params.
+    `table` must carry a `spec` attribute (set by the factories in
+    lasso/tables.py). `path` is a base path (no extension)."""
+    spec = getattr(table, "spec", None)
+    if spec is None:
+        raise ValueError(
+            f"table {table.name!r} has no factory spec; only factory-built "
+            "structured tables are serializable"
+        )
+    save_kzg_params(path, params)
+    with open(path + ".lasso.json", "w") as f:
+        json.dump({"kind": "lasso_setup", "table": spec}, f)
+
+
+def load_lasso_setup(path: str):
+    """Returns (table, params) equivalent to the stored setup."""
+    from halo2_lasso_tpu.lasso import tables as T
+
+    with open(path + ".lasso.json") as f:
+        meta = json.load(f)
+    assert meta["kind"] == "lasso_setup"
+    factory = getattr(T, meta["table"]["factory"])
+    table = factory(**meta["table"]["kwargs"])
+    return table, load_kzg_params(path)
+
+
 def load_hyperplonk_params(path: str):
     """Returns (pp, vp) equivalent to the stored pair."""
     from halo2_lasso_tpu.backend.hyperplonk import (

@@ -52,3 +52,36 @@ def test_hyperplonk_params_roundtrip_prove_verify(tmp_path):
 
     tr = new_transcript(proof)
     HyperPlonk.verify(vp2, circuit.instances(), tr)
+
+def test_lasso_setup_roundtrip_prove_verify(tmp_path):
+    """A Lasso setup (structured-table spec + KZG params) stored and reloaded
+    produces byte-identical proofs that verify."""
+    from halo2_lasso_tpu import lasso
+    from halo2_lasso_tpu.lasso.tables import range_table
+    from halo2_lasso_tpu.utils.serialize import load_lasso_setup, save_lasso_setup
+
+    table = range_table(4, 4)
+    rng = np.random.RandomState(11)
+    m = 8
+    nv_m = m.bit_length() - 1
+    nv = max(nv_m, table.memories[0].subtable.index_bits)
+    params = MultilinearKzg.setup(1 << nv, rng)
+    pp, vp = MultilinearKzg.trim(params, 1 << nv)
+
+    base = str(tmp_path / "lasso")
+    save_lasso_setup(base, table, params)
+    table2, params2 = load_lasso_setup(base)
+    pp2, vp2 = MultilinearKzg.trim(params2, 1 << nv)
+    assert table2.name == table.name and table2.num_chunks == table.num_chunks
+
+    indices = [int(v) for v in rng.randint(0, 1 << 4, size=m)]
+    tw = new_transcript()
+    lasso.prove(pp, table, indices, tw)
+    proof = tw.into_proof()
+
+    tw2 = new_transcript()
+    lasso.prove(pp2, table2, indices, tw2)
+    assert tw2.into_proof() == proof
+
+    tr = new_transcript(proof)
+    lasso.verify(vp2, table2, nv_m, tr)
