@@ -123,7 +123,10 @@ def main():
 
     outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "target", "bench")
     os.makedirs(outdir, exist_ok=True)
-    outfile = os.path.join(outdir, args.system)
+    # reference appends to target/bench/<system> (proof_system.rs:306-319);
+    # lasso_range is this framework's own circuit — keep its sweep separate
+    name = "lasso_range" if args.circuit == "lasso_range" else args.system
+    outfile = os.path.join(outdir, name)
 
     for k in ks:
         samples = args.samples or sample_size(k)
