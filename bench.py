@@ -46,6 +46,16 @@ jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 K = int(os.environ.get("BENCH_K", "20"))
 REFERENCE_POINTS_PER_S = 4.2e6  # pinned CPU estimate, see BASELINE.md
 
+# Wall-clock budget for the OPTIONAL metrics (pallas selftest, MSM): from a
+# cold compile cache the extras can take minutes each; never let them push
+# the whole run past the driver's timeout and lose the flagship line.
+_T0 = time.time()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
+
+
+def _time_left() -> float:
+    return BUDGET_S - (time.time() - _T0)
+
 
 def _pallas_selftest() -> str:
     """Full sumcheck proof, Pallas path vs jnp path: byte-equal or 'FAIL'.
@@ -161,6 +171,22 @@ def main():
             ch = step(ch)  # chained + host-synced
         dt = (time.perf_counter() - t0) / iters
         points_per_s = (1 << K) / dt
+        extras = {}
+        # optional metrics, each gated on the remaining time budget: a cold
+        # compile cache makes them minutes each, and the flagship line must
+        # always make it out before the driver's timeout
+        if _time_left() > 120:
+            try:
+                extras["pallas_selftest"] = _pallas_selftest()
+            except Exception as e:  # pragma: no cover
+                extras["pallas_selftest"] = f"ERROR: {type(e).__name__}: {e}"[:200]
+        else:
+            extras["pallas_selftest"] = "skipped:time-budget"
+        if os.environ.get("BENCH_MSM", "1") == "1":
+            if _time_left() > 120:
+                extras.update(_msm_bench_guarded())
+            else:
+                extras["msm_skipped"] = "time-budget"
         print(
             json.dumps(
                 {
@@ -168,12 +194,7 @@ def main():
                     "value": round(points_per_s, 1),
                     "unit": "hypercube points/s (vanilla-plonk round msg+fold, fused pallas)",
                     "vs_baseline": round(points_per_s / REFERENCE_POINTS_PER_S, 4),
-                    "pallas_selftest": _pallas_selftest(),
-                    **(
-                        _msm_bench_guarded()
-                        if os.environ.get("BENCH_MSM", "1") == "1"
-                        else {}
-                    ),
+                    **extras,
                 }
             )
         )

@@ -37,12 +37,8 @@ from halo2_lasso_tpu.poly.bh import BooleanHypercube
 # ---------------------------------------------------------------------------
 
 
-def eq_xy(spec: FieldSpec, y: jnp.ndarray) -> jnp.ndarray:
-    """eq(X, y) table over 2^k points; y: (k, L) Montgomery limbs.
-
-    Doubling expansion: new variable becomes the least-significant index bit,
-    so after processing y in reverse, index bit i corresponds to y_i.
-    """
+def _eq_xy_doubling(spec: FieldSpec, y: jnp.ndarray) -> jnp.ndarray:
+    """Reference doubling expansion (one module per level; parity oracle)."""
     k = y.shape[0]
     L = y.shape[-1]
     evals = spec.one[None, :]
@@ -51,6 +47,51 @@ def eq_xy(spec: FieldSpec, y: jnp.ndarray) -> jnp.ndarray:
         lo = F.sub(spec, evals, hi)
         evals = jnp.stack([lo, hi], axis=1).reshape(-1, L)
     return evals
+
+
+_EQ_XY_FNS: dict = {}
+
+
+def eq_xy(spec: FieldSpec, y: jnp.ndarray) -> jnp.ndarray:
+    """eq(X, y) table over 2^k points; y: (k, L) Montgomery limbs.
+    Index bit i of the output corresponds to y_i (multilinear.rs:91-127).
+
+    Shape-uniform product form: eq(x, y) = prod_i (x_i ? y_i : 1 - y_i),
+    computed as a lax.scan over the k factors at the FULL (2^k, L) shape.
+    One mont_mul instance per compiled module (vs one differently-shaped
+    module per doubling level) — this jaxlib's XLA:TPU backend spends ~20s
+    per inlined mont_mul graph, so the doubling form cost ~20s*k of compile
+    at every new k while this compiles once in ~20s. The k*2^k muls at
+    run time are noise next to that (and next to the prover's own folds).
+    """
+    k = int(y.shape[0])
+    L = int(y.shape[-1])
+    if k == 0:
+        return spec.one[None, :]
+    key = (spec.modulus, k, L)
+    fn = _EQ_XY_FNS.get(key)
+    if fn is None:
+        n = 1 << k
+
+        @jax.jit
+        def fn(y):
+            bitpos = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0)
+            acc = jnp.broadcast_to(spec.one, (n, L))
+
+            def body(acc, iy):
+                i, yi = iy
+                bit = (bitpos >> i) & jnp.uint32(1)
+                not_yi = F.sub(spec, spec.one[None, :], yi[None, :])
+                fac = jnp.where(bit == 1, yi[None, :], not_yi)
+                return F.mont_mul(spec, acc, fac), None
+
+            acc, _ = jax.lax.scan(
+                body, acc, (jnp.arange(k, dtype=jnp.uint32), y)
+            )
+            return acc
+
+        _EQ_XY_FNS[key] = fn
+    return fn(y)
 
 
 def fix_var(spec: FieldSpec, evals: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:

@@ -61,6 +61,17 @@ def test_eq_xy():
             assert table[b] == expect
 
 
+def test_eq_xy_matches_doubling_oracle():
+    # the shape-uniform scan form must agree with the per-level doubling
+    # expansion (multilinear.rs:91-127 semantics) bit for bit
+    for k in [1, 3, 6]:
+        y = rand_fes(k)
+        yd = jnp.asarray(Fr.encode(y))
+        a = np.asarray(mle.eq_xy(Fr, yd))
+        b = np.asarray(mle._eq_xy_doubling(Fr, yd))
+        assert (a == b).all()
+
+
 def test_eq_xy_eval_host():
     k = 5
     x, y = rand_fes(k), rand_fes(k)
