@@ -55,6 +55,32 @@ def test_tampered_proof_rejected():
         HyperPlonk.verify(vp, circuit.instances(), tr)
 
 
+def test_truncated_proof_rejected():
+    # every strict prefix must fail cleanly (TranscriptError on byte
+    # exhaustion), never verify or crash the process
+    proof, vp, circuit = run_backend(3, rand_vanilla_plonk_circuit)
+    for cut in (0, 1, len(proof) // 3, len(proof) - 1):
+        tr = new_transcript(proof[:cut])
+        with pytest.raises(Exception):
+            HyperPlonk.verify(vp, circuit.instances(), tr)
+
+
+def test_cross_commitment_swap_rejected():
+    # swap two same-size commitments inside the proof stream: the points
+    # are individually valid (on-curve), only the binding is wrong — the
+    # verifier must still reject (via Fiat-Shamir divergence / pairing
+    # failure), the attack the bit-flip test does not cover
+    proof, vp, circuit = run_backend(3, rand_vanilla_plonk_circuit)
+    # witness commitments lead the proof stream: 64 bytes each (x || y BE)
+    bad = bytearray(proof)
+    bad[0:64], bad[64:128] = proof[64:128], proof[0:64]
+    if bytes(bad) == proof:  # degenerate: identical commitments
+        pytest.skip("commitments equal; swap is a no-op")
+    tr = new_transcript(bytes(bad))
+    with pytest.raises(Exception):
+        HyperPlonk.verify(vp, circuit.instances(), tr)
+
+
 def test_wrong_instance_rejected():
     proof, vp, circuit = run_backend(3, rand_vanilla_plonk_circuit)
     instances = [list(circuit.instances()[0])]
