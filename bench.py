@@ -251,5 +251,34 @@ def main():
     )
 
 
+def _supervise() -> int:
+    """Re-exec the bench as a child and retry on silent death: this image's
+    jaxlib intermittently segfaults while COMPILING large modules; every
+    attempt extends the persistent compile cache, so retries make forward
+    progress and the surviving run prints the one JSON line. The driver sees
+    a single process with a single output line either way."""
+    import subprocess
+
+    deadline = _T0 + BUDGET_S + 150
+    rc = 1
+    for attempt in range(6):
+        left = deadline - time.time()
+        if left <= 30:
+            break
+        # the child gates its optional metrics on the REMAINING wall budget
+        env = dict(os.environ, BENCH_CHILD="1", BENCH_BUDGET_S=str(max(60, int(left - 120))))
+        try:
+            rc = subprocess.call([sys.executable, os.path.abspath(__file__)], env=env, timeout=left)
+        except subprocess.TimeoutExpired:
+            return 1
+        if rc == 0:
+            return 0
+        print(f"bench attempt {attempt} died rc={rc}; resuming from compile cache", file=sys.stderr)
+    return rc
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD") == "1" or os.environ.get("BENCH_SUPERVISE") == "0":
+        main()
+    else:
+        sys.exit(_supervise())
