@@ -20,10 +20,23 @@ import numpy as np
 from halo2_lasso_tpu.backend import PlonkishCircuit, PlonkishCircuitInfo
 from halo2_lasso_tpu.backend.hyperplonk import preprocessor, prover, verifier
 from halo2_lasso_tpu.expression import Expression
+from halo2_lasso_tpu.ops import field as F
 from halo2_lasso_tpu.ops.bn254 import FQ_MODULUS, Fr
+from halo2_lasso_tpu.pcs import Evaluation
 from halo2_lasso_tpu.pcs.multilinear_kzg import MultilinearKzg
+from halo2_lasso_tpu.poly import multilinear as mle
 from halo2_lasso_tpu.transcript import Keccak256Transcript
 from halo2_lasso_tpu.utils.timer import timed
+
+
+def _max_num_vars(circuit_info_or_pp) -> int:
+    """Largest num_vars the PCS must support: the circuit hypercube or the
+    largest Lasso subtable, whichever is bigger."""
+    nv = circuit_info_or_pp.k if hasattr(circuit_info_or_pp, "k") else circuit_info_or_pp.num_vars
+    for ll in circuit_info_or_pp.lasso_lookups:
+        for mem in ll.table.memories:
+            nv = max(nv, mem.subtable.index_bits)
+    return nv
 
 
 def new_transcript(proof: Optional[bytes] = None) -> Keccak256Transcript:
@@ -59,6 +72,7 @@ class HyperPlonkProverParam:
     preprocess_comms: List[Any]
     permutation_polys: List[Tuple[int, jnp.ndarray]]
     permutation_comms: List[Any]
+    lasso_lookups: list = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -73,6 +87,7 @@ class HyperPlonkVerifierParam:
     expression: Expression
     preprocess_comms: List[Any]
     permutation_comms: List[Tuple[int, Any]]
+    lasso_lookups: list = dataclasses.field(default_factory=list)
 
 
 class HyperPlonk:
@@ -91,7 +106,7 @@ class HyperPlonk:
     @classmethod
     def setup(cls, circuit_info: PlonkishCircuitInfo, rng: np.random.RandomState):
         assert circuit_info.is_well_formed()
-        return cls.Pcs.setup(1 << circuit_info.k, rng=rng)
+        return cls.Pcs.setup(1 << _max_num_vars(circuit_info), rng=rng)
 
     @classmethod
     @timed("preprocess")
@@ -100,7 +115,9 @@ class HyperPlonk:
     ) -> Tuple[HyperPlonkProverParam, HyperPlonkVerifierParam]:
         assert circuit_info.is_well_formed()
         num_vars = circuit_info.k
-        pcs_pp, pcs_vp = cls.Pcs.trim(param, 1 << num_vars)
+        # PCS params must also cover Lasso final_cts polys, whose subtables
+        # may be larger than the circuit's hypercube
+        pcs_pp, pcs_vp = cls.Pcs.trim(param, 1 << _max_num_vars(circuit_info))
 
         from halo2_lasso_tpu.ops import field as F
 
@@ -132,6 +149,7 @@ class HyperPlonk:
             preprocess_comms=preprocess_comms,
             permutation_polys=list(zip(perm_poly_indices, permutation_polys)),
             permutation_comms=permutation_comms,
+            lasso_lookups=list(circuit_info.lasso_lookups),
         )
         vc = cls.Pcs.verifier_commitment
         vp = HyperPlonkVerifierParam(
@@ -147,6 +165,7 @@ class HyperPlonk:
             permutation_comms=list(
                 zip(perm_poly_indices, [vc(c) for c in permutation_comms])
             ),
+            lasso_lookups=list(circuit_info.lasso_lookups),
         )
         return pp, vp
 
@@ -191,7 +210,35 @@ class HyperPlonk:
             witness_polys.extend(polys_r)
             challenges.extend(transcript.squeeze_challenges(num_c))
 
-        polys = instance_polys + pp.preprocess_polys + witness_polys
+        # Lasso lookups: commit the Surge witness columns (dims, subtable
+        # reads E, read timestamps) + table-sized final counters; the
+        # pointwise bindings are already inside pp.expression (compose)
+        lasso_locals: List[List[jnp.ndarray]] = []
+        lasso_fcs: List[List[jnp.ndarray]] = []
+        lasso_flat: List[jnp.ndarray] = []
+        lasso_comms: List[Any] = []
+        lasso_layouts = []
+        if pp.lasso_lookups:
+            from halo2_lasso_tpu.lasso import integration as lasso_int
+
+            lasso_layouts = [lasso_int.LassoLayout(lk) for lk in pp.lasso_lookups]
+            base_polys = instance_polys + pp.preprocess_polys + witness_polys
+            with timed.scope("lasso_witness"):
+                for lk, layout in zip(pp.lasso_lookups, lasso_layouts):
+                    loc, fcs = lasso_int.build_lookup_witness(
+                        spec, lk, layout, base_polys, challenges, num_vars
+                    )
+                    lasso_locals.append(loc)
+                    lasso_fcs.append(fcs)
+            lasso_flat = [a for loc in lasso_locals for a in loc]
+            with timed.scope("lasso_commit"):
+                lasso_comms = cls.Pcs.batch_commit(pp.pcs, lasso_flat)
+                fc_flat = [a for fcs in lasso_fcs for a in fcs]
+                fc_comms = cls.Pcs.batch_commit(pp.pcs, fc_flat)
+            cls.Pcs.write_commitments(lasso_comms, transcript)
+            cls.Pcs.write_commitments(fc_comms, transcript)
+
+        polys = instance_polys + pp.preprocess_polys + witness_polys + lasso_flat
 
         # Round n: beta, lookup m polys
         beta = transcript.squeeze_challenge()
@@ -237,6 +284,7 @@ class HyperPlonk:
             [None] * len(pp.num_instances)  # instance polys are never opened
             + list(pp.preprocess_comms)
             + witness_comms
+            + lasso_comms
             + list(pp.permutation_comms)
             + m_comms
             + hz_comms
@@ -253,9 +301,62 @@ class HyperPlonk:
                 spec=spec,
             )
 
+        # Lasso offline memory check: batched GKR grand products over the
+        # read/write/init/final fingerprint multisets; open the m-sized
+        # leaves at x_m through the main batch opening below
+        if pp.lasso_lookups:
+            gamma_l = transcript.squeeze_challenge()
+            tau = transcript.squeeze_challenge()
+            with timed.scope("lasso_memory_check"):
+                x_m, x_ns = lasso_int.prove_memory_check(
+                    spec,
+                    lasso_layouts,
+                    lasso_locals,
+                    lasso_fcs,
+                    gamma_l,
+                    tau,
+                    num_vars,
+                    transcript,
+                )
+            xm_dev = jnp.asarray(spec.encode(x_m))
+            lasso_offset = len(polys) - len(lasso_flat)
+            xm_vals = [
+                F.decode_scalar(spec, np.asarray(mle.evaluate(spec, poly, xm_dev)))
+                for poly in lasso_flat
+            ]
+            transcript.write_field_elements(xm_vals)
+            pt_idx = len(points)
+            points = list(points) + [list(x_m)]
+            evals = list(evals) + [
+                Evaluation(lasso_offset + i, pt_idx, v)
+                for i, v in enumerate(xm_vals)
+            ]
+
         # PCS batch open
         with timed.scope("pcs_batch_open"):
             cls.Pcs.batch_open(pp.pcs, all_polys, all_comms, points, evals, transcript)
+
+        # Lasso final counters: open per subtable size at that group's x_n
+        if pp.lasso_lookups:
+            groups = lasso_int._n_groups(lasso_layouts)
+            with timed.scope("lasso_open_fc"):
+                for nv_n, members in groups.items():
+                    xn = x_ns[nv_n]
+                    xn_dev = jnp.asarray(spec.encode(xn))
+                    group_polys = [lasso_fcs[li][mi] for li, mi in members]
+                    vals = [
+                        F.decode_scalar(
+                            spec, np.asarray(mle.evaluate(spec, poly, xn_dev))
+                        )
+                        for poly in group_polys
+                    ]
+                    transcript.write_field_elements(vals)
+                    n_evals = [
+                        Evaluation(j, 0, v) for j, v in enumerate(vals)
+                    ]
+                    cls.Pcs.batch_open(
+                        pp.pcs, group_polys, None, [xn], n_evals, transcript
+                    )
 
     @classmethod
     @timed("verify")
@@ -277,6 +378,18 @@ class HyperPlonk:
             witness_comms.extend(cls.Pcs.read_commitments(vp.pcs, num_w, transcript))
             challenges.extend(transcript.squeeze_challenges(num_c))
 
+        lasso_comms: List[Any] = []
+        fc_comms: List[Any] = []
+        lasso_layouts = []
+        if vp.lasso_lookups:
+            from halo2_lasso_tpu.lasso import integration as lasso_int
+
+            lasso_layouts = [lasso_int.LassoLayout(lk) for lk in vp.lasso_lookups]
+            total_locals = sum(l.num_local for l in lasso_layouts)
+            total_mems = sum(len(l.mems) for l in lasso_layouts)
+            lasso_comms = cls.Pcs.read_commitments(vp.pcs, total_locals, transcript)
+            fc_comms = cls.Pcs.read_commitments(vp.pcs, total_mems, transcript)
+
         beta = transcript.squeeze_challenge()
         m_comms = cls.Pcs.read_commitments(vp.pcs, vp.num_lookups, transcript)
         gamma = transcript.squeeze_challenge()
@@ -297,15 +410,76 @@ class HyperPlonk:
             spec=cls.field(),
         )
 
+        # Lasso memory check (mirrors prove): GKR grand products, then the
+        # fingerprint recombination checks against the x_m / x_n openings
+        if vp.lasso_lookups:
+            gamma_l = transcript.squeeze_challenge()
+            tau = transcript.squeeze_challenge()
+            x_m, q_m, n_claims = lasso_int.verify_memory_check(
+                cls.field(), lasso_layouts, gamma_l, tau, num_vars, transcript
+            )
+            total_locals = sum(l.num_local for l in lasso_layouts)
+            xm_vals = transcript.read_field_elements(total_locals)
+            local_evals_by_lookup = []
+            off = 0
+            for layout in lasso_layouts:
+                local_evals_by_lookup.append(xm_vals[off : off + layout.num_local])
+                off += layout.num_local
+            lasso_int.check_m_fingerprints(
+                cls.field(), lasso_layouts, local_evals_by_lookup, q_m, gamma_l, tau
+            )
+            num_poly_before_lasso = (
+                len(vp.num_instances)
+                + len(vp.preprocess_comms)
+                + len(witness_comms)
+            )
+            pt_idx = len(points)
+            points = list(points) + [list(x_m)]
+            evals = list(evals) + [
+                Evaluation(num_poly_before_lasso + i, pt_idx, v)
+                for i, v in enumerate(xm_vals)
+            ]
+
         comms = (
             [None] * len(vp.num_instances)  # never opened (pcs_query excludes)
             + list(vp.preprocess_comms)
             + witness_comms
+            + lasso_comms
             + [c for _, c in vp.permutation_comms]
             + m_comms
             + hz_comms
         )
         cls.Pcs.batch_verify(vp.pcs, comms, points, evals, transcript)
+
+        if vp.lasso_lookups:
+            spec = cls.field()
+            groups = lasso_int._n_groups(lasso_layouts)
+            fc_pos = {}
+            pos = 0
+            for li, layout in enumerate(lasso_layouts):
+                for mi in range(len(layout.mems)):
+                    fc_pos[(li, mi)] = pos
+                    pos += 1
+            for nv_n, members in groups.items():
+                x_n, init_claims, final_claims = n_claims[nv_n]
+                fc_evals = transcript.read_field_elements(len(members))
+                lasso_int.check_n_fingerprints(
+                    spec,
+                    lasso_layouts,
+                    nv_n,
+                    members,
+                    x_n,
+                    init_claims,
+                    final_claims,
+                    fc_evals,
+                    gamma_l,
+                    tau,
+                )
+                group_comms = [fc_comms[fc_pos[key]] for key in members]
+                n_evals = [Evaluation(j, 0, v) for j, v in enumerate(fc_evals)]
+                cls.Pcs.batch_verify(
+                    vp.pcs, group_comms, [x_n], n_evals, transcript
+                )
 
 
 def hyperplonk(pcs_cls) -> type:

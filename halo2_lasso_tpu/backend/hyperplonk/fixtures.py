@@ -71,6 +71,94 @@ def vanilla_plonk_with_lookup_circuit_info(
     )
 
 
+def rand_lasso_circuit(
+    num_vars: int,
+    preprocess_rng,
+    witness_rng,
+    operand_bits: int = 8,
+    chunk_bits: int = 4,
+    range_bits: int = 8,
+):
+    """Random satisfied circuit mixing plonkish gates, a copy constraint and
+    two Lasso lookups (AND two-operand table + range table) — the
+    Lasso-in-HyperPlonk shape the reference targets (README.md:3-7).
+
+    Columns (one witness phase): [w_x, w_y, w_and, w_s, w_r];
+    gate: w_x + w_y - w_s = 0;  Lasso: w_and == AND[w_x, w_y],
+    w_r == range[w_r];  copy: w_r[2] == w_r[5]."""
+    from halo2_lasso_tpu.lasso.integration import LassoLookup
+    from halo2_lasso_tpu.lasso.tables import and_table, range_table
+
+    assert num_vars >= 3
+    size = 1 << num_vars
+    w_x = [int(v) for v in witness_rng.randint(0, 1 << operand_bits, size)]
+    w_y = [int(v) for v in witness_rng.randint(0, 1 << operand_bits, size)]
+    w_and = [x & y for x, y in zip(w_x, w_y)]
+    w_s = [(x + y) % P for x, y in zip(w_x, w_y)]
+    w_r = [int(v) for v in witness_rng.randint(0, 1 << range_bits, size)]
+    w_r[5] = w_r[2]
+
+    x, y, a, s, r = [Expression.poly(i) for i in range(5)]
+    circuit_info = PlonkishCircuitInfo(
+        k=num_vars,
+        num_instances=[],
+        preprocess_polys=[],
+        num_witness_polys=[5],
+        num_challenges=[0],
+        constraints=[x + y - s],
+        lookups=[],
+        permutations=[[(4, 2), (4, 5)]],
+        max_degree=4,
+        lasso_lookups=[
+            LassoLookup(and_table(operand_bits, chunk_bits), (x, y), a),
+            LassoLookup(range_table(range_bits, range_bits), (r,), r),
+        ],
+    )
+    return circuit_info, MockCircuit([], [w_x, w_y, w_and, w_s, w_r])
+
+
+class TwoPhaseCircuit(MockCircuit):
+    """Two witness phases with a phase-0 challenge used in a gate.
+
+    Phase 0 commits w0; the prover squeezes theta; phase 1 synthesizes
+    w1 = theta*w0 + w0^2 against the squeezed theta (the frontend/
+    halo2.rs:222-244 multi-phase witness semantics). `cheat=True`
+    synthesizes w1 against theta+1 — the prover completes but the zero
+    check fails at the verifier (negative test)."""
+
+    def __init__(self, w0: List[int], cheat: bool = False):
+        super().__init__([], [w0])
+        self.w0 = w0
+        self.cheat = cheat
+
+    def synthesize(self, round_, challenges):
+        if round_ == 0:
+            return [self.w0]
+        theta = (challenges[0] + (1 if self.cheat else 0)) % P
+        return [[(theta * v + v * v) % P for v in self.w0]]
+
+
+def rand_two_phase_circuit(num_vars: int, witness_rng, cheat: bool = False):
+    """Circuit info + witness for the two-phase/one-challenge shape:
+    columns [w0 (phase 0), w1 (phase 1)], gate w1 - theta*w0 - w0^2 = 0."""
+    size = 1 << num_vars
+    w0_e, w1_e = Expression.poly(0), Expression.poly(1)
+    theta = Expression.challenge(0)
+    circuit_info = PlonkishCircuitInfo(
+        k=num_vars,
+        num_instances=[],
+        preprocess_polys=[],
+        num_witness_polys=[1, 1],
+        num_challenges=[1, 0],
+        constraints=[theta * w0_e + w0_e * w0_e - w1_e],
+        lookups=[],
+        permutations=[],
+        max_degree=4,
+    )
+    w0 = [_rand_fe(witness_rng) for _ in range(size)]
+    return circuit_info, TwoPhaseCircuit(w0, cheat=cheat)
+
+
 class Permutation:
     """util.rs:376-405 cycle builder."""
 

@@ -19,6 +19,14 @@ from halo2_lasso_tpu.backend import PlonkishCircuitInfo
 from halo2_lasso_tpu.expression import Expression
 
 
+def num_lasso_polys(circuit_info: PlonkishCircuitInfo) -> int:
+    if not circuit_info.lasso_lookups:
+        return 0
+    from halo2_lasso_tpu.lasso.integration import num_lasso_polys as _n
+
+    return _n(circuit_info)
+
+
 def batch_size(circuit_info: PlonkishCircuitInfo) -> int:
     num_lookups = len(circuit_info.lookups)
     num_permutation_polys = len(circuit_info.permutation_polys())
@@ -39,10 +47,22 @@ def max_degree(circuit_info: PlonkishCircuitInfo, lookup_constraints_=None) -> i
         lookup_constraints_, _ = lookup_constraints(circuit_info, zero, zero)
     degrees = [c.degree for c in circuit_info.constraints]
     degrees += [c.degree for c in lookup_constraints_]
+    degrees += [c.degree for c in lasso_zero_constraints(circuit_info)]
     if circuit_info.max_degree is not None:
         degrees.append(circuit_info.max_degree)
     degrees.append(2)
     return max(degrees)
+
+
+def lasso_zero_constraints(circuit_info: PlonkishCircuitInfo):
+    """Surge pointwise bindings (output = g(E…), index = chunk
+    recombination) that join the zero check; the Lasso polys sit right after
+    the witness polys in the global index space."""
+    if not circuit_info.lasso_lookups:
+        return []
+    from halo2_lasso_tpu.lasso.integration import lasso_constraints
+
+    return lasso_constraints(circuit_info, circuit_info.num_poly())
 
 
 def lookup_constraints(
@@ -51,7 +71,11 @@ def lookup_constraints(
     """preprocessor.rs:79-109: per lookup, the logup identity
     h*(input+gamma)*(table+gamma) - (table+gamma) + m*(input+gamma) == 0 and
     the h-sum zero-check."""
-    m_offset = circuit_info.num_poly() + len(circuit_info.permutation_polys())
+    m_offset = (
+        circuit_info.num_poly()
+        + num_lasso_polys(circuit_info)
+        + len(circuit_info.permutation_polys())
+    )
     h_offset = m_offset + len(circuit_info.lookups)
     constraints = []
     for idx, lookup in enumerate(circuit_info.lookups):
@@ -83,7 +107,7 @@ def permutation_constraints(
     permutation_polys = circuit_info.permutation_polys()
     chunk_size = md - 1
     num_chunks = -(-len(permutation_polys) // chunk_size) if permutation_polys else 0
-    permutation_offset = circuit_info.num_poly()
+    permutation_offset = circuit_info.num_poly() + num_lasso_polys(circuit_info)
     z_offset = permutation_offset + len(permutation_polys) + num_builtin_witness_polys
 
     polys = [Expression.poly(i) for i in permutation_polys]
@@ -122,13 +146,14 @@ def compose(circuit_info: PlonkishCircuitInfo) -> Tuple[int, Expression]:
     alpha = Expression.challenge(challenge_offset + 2)
 
     lookup_cons, lookup_zero_checks = lookup_constraints(circuit_info, beta, gamma)
+    lasso_cons = lasso_zero_constraints(circuit_info)
     md = max_degree(circuit_info, lookup_cons)
     num_permutation_z_polys, permutation_cons = permutation_constraints(
         circuit_info, md, beta, gamma, 2 * len(circuit_info.lookups)
     )
 
     constraints = (
-        list(circuit_info.constraints) + lookup_cons + permutation_cons
+        list(circuit_info.constraints) + lasso_cons + lookup_cons + permutation_cons
     )
     eq = Expression.eq_xy(0)
     zero_check_on_every_row = (

@@ -33,7 +33,10 @@ from halo2_lasso_tpu.poly import multilinear as mle
 from halo2_lasso_tpu.poly.bh import BooleanHypercube
 
 
-class ProofError(Exception):
+from halo2_lasso_tpu.errors import Halo2LassoError
+
+
+class ProofError(Halo2LassoError):
     pass
 
 

@@ -20,7 +20,10 @@ from halo2_lasso_tpu.poly import multilinear as mle
 from halo2_lasso_tpu.poly.bh import BooleanHypercube
 
 
-class VerifyError(Exception):
+from halo2_lasso_tpu.errors import Halo2LassoError
+
+
+class VerifyError(Halo2LassoError):
     pass
 
 

@@ -42,7 +42,10 @@ from halo2_lasso_tpu.utils.timer import timed
 P = Fr.modulus
 
 
-class LassoError(Exception):
+from halo2_lasso_tpu.errors import Halo2LassoError
+
+
+class LassoError(Halo2LassoError):
     pass
 
 

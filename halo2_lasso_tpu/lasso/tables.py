@@ -42,6 +42,7 @@ class Subtable:
     index_bits: int
     fn: Callable[[int], int]
     mle_eval: Callable[[Sequence[int]], int] = None
+    is_identity: bool = False  # T[k] = k; lets Surge alias E ≡ dim
 
     @functools.lru_cache(maxsize=None)
     def values(self) -> np.ndarray:
@@ -205,6 +206,18 @@ def _serializable(factory):
     return wrapped
 
 
+@functools.lru_cache(maxsize=None)
+def identity_subtable(index_bits: int) -> Subtable:
+    """Shared identity subtable (range tables; Surge range memories)."""
+    return Subtable(
+        f"identity_{index_bits}",
+        index_bits,
+        lambda k: k,
+        mle_eval=_identity_mle(index_bits),
+        is_identity=True,
+    )
+
+
 def _weighted_sum(alpha: int, weight_bits: int) -> Expression:
     terms = [Expression.poly(j) * (1 << (weight_bits * j)) for j in range(alpha)]
     acc = terms[0]
@@ -219,7 +232,7 @@ def range_table(index_bits: int, chunk_bits: int = 16) -> LassoTable:
     """T[r] = r  (range check into [0, 2^index_bits))."""
     c = -(-index_bits // chunk_bits)
     ib = min(chunk_bits, index_bits)
-    sub = Subtable("identity", ib, lambda k: k, mle_eval=_identity_mle(ib))
+    sub = identity_subtable(ib)
     # chunks may be uneven; use a full-width subtable per chunk, with the top
     # chunk's range enforced by table size. For simplicity require divisible.
     assert index_bits % chunk_bits == 0 or c == 1

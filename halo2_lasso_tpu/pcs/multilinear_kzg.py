@@ -42,7 +42,10 @@ from halo2_lasso_tpu.transcript import Keccak256Transcript
 G2_GEN = (G2_GEN_X, G2_GEN_Y)
 
 
-class PcsError(Exception):
+from halo2_lasso_tpu.errors import Halo2LassoError
+
+
+class PcsError(Halo2LassoError):
     pass
 
 

@@ -26,7 +26,10 @@ from halo2_lasso_tpu.piop import sum_check
 from halo2_lasso_tpu.transcript import Keccak256Transcript
 
 
-class GkrError(Exception):
+from halo2_lasso_tpu.errors import Halo2LassoError
+
+
+class GkrError(Halo2LassoError):
     pass
 
 

@@ -21,7 +21,10 @@ from typing import List, Optional, Tuple
 from halo2_lasso_tpu.ops.keccak import Keccak256
 
 
-class TranscriptError(Exception):
+from halo2_lasso_tpu.errors import Halo2LassoError
+
+
+class TranscriptError(Halo2LassoError):
     pass
 
 
