@@ -76,6 +76,65 @@ def on_curve(spec: CurveSpec, x: int, y: int) -> bool:
     return (y * y - x * x * x - spec.b) % p == 0
 
 
+def sqrt_mod(a: int, p: int):
+    """Square root mod odd prime p, or None if a is a non-residue.
+    p ≡ 3 (mod 4) shortcut (BN254 Fq), Tonelli–Shanks otherwise (Fr, pasta)."""
+    a %= p
+    if a == 0:
+        return 0
+    if pow(a, (p - 1) // 2, p) != 1:
+        return None
+    if p % 4 == 3:
+        return pow(a, (p + 1) // 4, p)
+    q, s = p - 1, 0
+    while q % 2 == 0:
+        q //= 2
+        s += 1
+    z = 2
+    while pow(z, (p - 1) // 2, p) != p - 1:
+        z += 1
+    m, c = s, pow(z, q, p)
+    t, r = pow(a, q, p), pow(a, (q + 1) // 2, p)
+    while t != 1:
+        i, t2 = 0, t
+        while t2 != 1:
+            t2 = t2 * t2 % p
+            i += 1
+        b = pow(c, 1 << (m - i - 1), p)
+        m, c = i, b * b % p
+        r = r * b % p
+        t = t * c % p
+    return r
+
+
+def hash_to_curve(curve: CurveSpec, seed: bytes, n: int):
+    """n independent generators with publicly UNKNOWN discrete logs, by
+    try-and-increment: x candidates from keccak(seed ‖ i ‖ ctr), y the
+    canonical root of x³ + b (all catalogued curves have cofactor 1).
+    Matches the intent of the reference's hash_to_curve setup
+    (pcs/multilinear/ipa.rs:105,123) — unlike an s_i·G derivation, no party
+    can compute any dlog relation between the outputs. Returns an (n, 2)
+    object array of affine coordinates."""
+    import numpy as np
+
+    from halo2_lasso_tpu.ops.keccak import keccak256
+
+    p = curve.base.modulus
+    out = np.empty((n, 2), dtype=object)
+    for i in range(n):
+        ctr = 0
+        while True:
+            h = keccak256(seed + i.to_bytes(8, "little") + ctr.to_bytes(4, "little"))
+            x = int.from_bytes(h, "little") % p
+            y = sqrt_mod((x * x % p * x + curve.b) % p, p)
+            if y is not None and x != 0:
+                out[i, 0] = x
+                out[i, 1] = min(y, p - y)  # canonical sign
+                break
+            ctr += 1
+    return out
+
+
 # ---------------------------------------------------------------------------
 # host-side affine arithmetic over any catalogued a=0 curve (python ints;
 # None or (0, 0) = identity). Used by verifiers for the handful of

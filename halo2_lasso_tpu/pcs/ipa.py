@@ -6,10 +6,12 @@ rounds of L/R cross-commitments and (bases, coeffs, zs) folds with xi / xi^-1
 (ipa.rs:170-241); verify recombines with the tensor-expanded h_coeffs poly
 (ipa.rs:269-337).
 
-Setup note: the reference derives generators by hash-to-curve
-(ipa.rs:98-127); here generators are s_i*G1 with s_i = keccak(seed, i) mod r
-— an equivalent-security transparent derivation that keeps SRS generation on
-the device MSM path (SRS bytes differ from the reference's, as all SRS do).
+Setup derives generators by try-and-increment hash-to-curve
+(ops/curves.py:hash_to_curve), matching the reference's
+C::CurveExt::hash_to_curve("MultilinearIpa::setup") (ipa.rs:105,123): no
+party knows any discrete-log relation between the generators, which is what
+makes the commitments binding. (SRS bytes still differ from the reference's,
+as all SRS do.)
 """
 
 from __future__ import annotations
@@ -49,23 +51,11 @@ class MultilinearIpa(PointCommitmentIO):
 
     @classmethod
     def setup(cls, poly_size: int, rng=None) -> IpaParams:
-        S = cls.FIELD
         num_vars = poly_size.bit_length() - 1
-        scalars = [
-            int.from_bytes(
-                keccak256(b"MultilinearIpa::setup" + i.to_bytes(4, "little")),
-                "little",
-            )
-            % S.modulus
-            for i in range(poly_size + 1)
-        ]
-        pts = ec.fixed_base_msm(
-            ec.curve_generator(cls.CURVE),
-            jnp.asarray(S.encode(scalars)),
-            256,
-            cls.CURVE.base,
-            S,
+        affine = curves.hash_to_curve(
+            cls.CURVE, b"MultilinearIpa::setup", poly_size + 1
         )
+        pts = ec.affine_to_jacobian(affine, cls.CURVE.base)
         g = {k: v[:poly_size] for k, v in pts.items()}
         h = {k: v[poly_size] for k, v in pts.items()}
         return IpaParams(num_vars=num_vars, g=g, h=h)
