@@ -98,13 +98,15 @@ def _pallas_selftest() -> str:
 
 
 def _msm_bench(k: int = 16):
-    """Warm-timed batched-affine MSM at 2^k (BENCH_MSM=1; off by default:
-    first compile through the tunnel is minutes)."""
+    """Warm-timed pure-Jacobian halving MSM at 2^k (BENCH_MSM=1; off by
+    default: first compile through the tunnel is minutes). Timing ends on a
+    HOST-materialized result (the tunnel's block_until_ready can return
+    before device completion)."""
     import time as _time
 
     import numpy as _np
 
-    from halo2_lasso_tpu.ops import ec, msm_affine
+    from halo2_lasso_tpu.ops import ec, msm_jacobian
     from halo2_lasso_tpu.ops.bn254 import Fr
 
     n = 1 << k
@@ -114,13 +116,13 @@ def _msm_bench(k: int = 16):
     sc = [int.from_bytes(rng.bytes(40), "little") % Fr.modulus for _ in range(n)]
     scal = jnp.asarray(Fr.encode(sc))
     for _ in range(2):
-        r = msm_affine.msm_affine(pts, scal)
-        jax.block_until_ready(r["x"])
+        r = msm_jacobian.msm(pts, scal)
+        _np.asarray(r["x"])
     iters = 3
     t0 = _time.time()
     for _ in range(iters):
-        r = msm_affine.msm_affine(pts, scal)
-        jax.block_until_ready(r["x"])
+        r = msm_jacobian.msm(pts, scal)
+        _np.asarray(r["x"])
     dt = (_time.time() - t0) / iters
     return {"msm_k": k, "msm_ms": round(dt * 1e3, 1), "msm_points_per_s": round(n / dt, 1)}
 
@@ -259,8 +261,11 @@ def _supervise() -> int:
     a single process with a single output line either way."""
     import subprocess
 
-    deadline = _T0 + BUDGET_S + 150
+    # total wall-clock stays within BUDGET_S; retry headroom comes out of
+    # the children's budgets, not on top of the caller's timeout
+    deadline = _T0 + BUDGET_S
     rc = 1
+    plain_failures = 0  # rc > 0: deterministic errors — fail fast, retry once
     for attempt in range(6):
         left = deadline - time.time()
         if left <= 30:
@@ -273,6 +278,11 @@ def _supervise() -> int:
             return 1
         if rc == 0:
             return 0
+        if rc > 0:  # ordinary exception (import error, bad env): not the
+            # intermittent compile-time segfault retries exist for
+            plain_failures += 1
+            if plain_failures >= 2:
+                return rc
         print(f"bench attempt {attempt} died rc={rc}; resuming from compile cache", file=sys.stderr)
     return rc
 

@@ -9,6 +9,8 @@ import numpy as np
 import pytest
 
 from halo2_lasso_tpu.backend.hyperplonk import HyperPlonk, new_transcript
+from halo2_lasso_tpu.errors import Halo2LassoError
+from halo2_lasso_tpu.transcript import TranscriptError
 from halo2_lasso_tpu.backend.hyperplonk.fixtures import (
     rand_vanilla_plonk_circuit,
     rand_vanilla_plonk_with_lookup_circuit,
@@ -51,7 +53,7 @@ def test_tampered_proof_rejected():
     bad = bytearray(proof)
     bad[len(bad) // 2] ^= 1
     tr = new_transcript(bytes(bad))
-    with pytest.raises(Exception):
+    with pytest.raises(Halo2LassoError):
         HyperPlonk.verify(vp, circuit.instances(), tr)
 
 
@@ -61,7 +63,7 @@ def test_truncated_proof_rejected():
     proof, vp, circuit = run_backend(3, rand_vanilla_plonk_circuit)
     for cut in (0, 1, len(proof) // 3, len(proof) - 1):
         tr = new_transcript(proof[:cut])
-        with pytest.raises(Exception):
+        with pytest.raises(Halo2LassoError):
             HyperPlonk.verify(vp, circuit.instances(), tr)
 
 
@@ -77,7 +79,7 @@ def test_cross_commitment_swap_rejected():
     if bytes(bad) == proof:  # degenerate: identical commitments
         pytest.skip("commitments equal; swap is a no-op")
     tr = new_transcript(bytes(bad))
-    with pytest.raises(Exception):
+    with pytest.raises(Halo2LassoError):
         HyperPlonk.verify(vp, circuit.instances(), tr)
 
 
@@ -86,7 +88,7 @@ def test_wrong_instance_rejected():
     instances = [list(circuit.instances()[0])]
     instances[0][0] = (instances[0][0] + 1) % (2**64)
     tr = new_transcript(proof)
-    with pytest.raises(Exception):
+    with pytest.raises(Halo2LassoError):
         HyperPlonk.verify(vp, instances, tr)
 
 
