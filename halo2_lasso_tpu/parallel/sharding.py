@@ -87,6 +87,11 @@ def shard_evals(mesh: Mesh, evals: jnp.ndarray) -> jnp.ndarray:
     return jax.device_put(evals, NamedSharding(mesh, PS("data", None)))
 
 
+def shard_evals_axis1(mesh: Mesh, stacked: jnp.ndarray) -> jnp.ndarray:
+    """Place a (T, n, L) stacked eval-table batch with axis-1 sharding."""
+    return jax.device_put(stacked, NamedSharding(mesh, PS(None, "data", None)))
+
+
 def _renormalize(spec: FieldSpec, lazy: jnp.ndarray) -> jnp.ndarray:
     """Exact mod-p of a lazy-limb value (limbs < 2^28): mont_reduce then *R^2."""
     L = spec.num_limbs
@@ -230,33 +235,50 @@ def make_sharded_fold_fn(spec: FieldSpec, mesh: Mesh, keys):
     return jax.jit(inner)
 
 
-def make_sharded_coeff_fn(spec: FieldSpec, mesh: Mesh, num_terms: int):
+def make_sharded_coeff_fn(spec: FieldSpec, mesh: Mesh):
     """Sharded CoefficientsProver round kernel (degree-2 batch-open sumcheck,
-    piop/sum_check.prove_coeff_products): per-term (c0, c2) column sums with
-    one psum."""
+    piop/sum_check.prove_coeff_products): STACKED (T, n, L) terms, per-term
+    (c0, c2) column sums with one psum. Module size is constant in T."""
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=([PS("data", None)] * num_terms, [PS("data", None)] * num_terms),
+        in_specs=(PS(None, "data", None), PS(None, "data", None)),
         out_specs=(PS(None, None), PS(None, None)),
         check_vma=False,
     )
     def inner(eqs, polys):
-        c0s, c2s = [], []
-        for eq, poly in zip(eqs, polys):
-            e0, e1 = eq[0::2], eq[1::2]
-            p0, p1 = poly[0::2], poly[1::2]
-            c0s.append(F.sum_reduce(spec, F.mont_mul(spec, e0, p0)))
-            c2s.append(
-                F.sum_reduce(
-                    spec,
-                    F.mont_mul(spec, F.sub(spec, e1, e0), F.sub(spec, p1, p0)),
-                )
-            )
-        c0 = _renormalize(spec, jax.lax.psum(jnp.stack(c0s), "data"))
-        c2 = _renormalize(spec, jax.lax.psum(jnp.stack(c2s), "data"))
+        e0, e1 = eqs[:, 0::2], eqs[:, 1::2]
+        p0, p1 = polys[:, 0::2], polys[:, 1::2]
+        c0 = F.sum_reduce(spec, F.mont_mul(spec, e0, p0), axis=1)
+        c2 = F.sum_reduce(
+            spec,
+            F.mont_mul(spec, F.sub(spec, e1, e0), F.sub(spec, p1, p0)),
+            axis=1,
+        )
+        c0 = _renormalize(spec, jax.lax.psum(c0, "data"))
+        c2 = _renormalize(spec, jax.lax.psum(c2, "data"))
         return c0, c2
+
+    return jax.jit(inner)
+
+
+def make_sharded_coeff_fold_fn(spec: FieldSpec, mesh: Mesh):
+    """fix_var on a (T, n, L) stacked table, axis-1 ("data") sharded: the X_0
+    fold pairs adjacent elements within each shard — communication-free."""
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(PS(None, "data", None), PS(None)),
+        out_specs=PS(None, "data", None),
+        check_vma=False,
+    )
+    def inner(stacked, x):
+        e0, e1 = stacked[:, 0::2], stacked[:, 1::2]
+        return F.add(
+            spec, F.mont_mul(spec, F.sub(spec, e1, e0), x[None, None, :]), e0
+        )
 
     return jax.jit(inner)
 

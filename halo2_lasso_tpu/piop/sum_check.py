@@ -39,7 +39,10 @@ from halo2_lasso_tpu.poly.bh import BooleanHypercube
 from halo2_lasso_tpu.transcript import Keccak256Transcript, TranscriptError
 
 
-class SumcheckError(Exception):
+from halo2_lasso_tpu.errors import Halo2LassoError
+
+
+class SumcheckError(Halo2LassoError):
     pass
 
 
@@ -509,26 +512,40 @@ def prove(
 # ---------------------------------------------------------------------------
 
 
-def _make_coeff_round_fn(spec: FieldSpec, num_terms: int):
+def _make_coeff_round_fn(spec: FieldSpec):
     """Jitted round kernel for expressions sum_j scalar_j * eq_j * poly_j:
-    returns per-term (c0_j, c2_j) column sums (coeff.rs:152-203 Karatsuba,
-    LAZY mode: c1 recovered from the claimed sum)."""
+    per-term (c0_j, c2_j) column sums (coeff.rs:152-203 Karatsuba, LAZY
+    mode: c1 recovered from the claimed sum).
 
-    def round_fn(eqs: List[jnp.ndarray], polys: List[jnp.ndarray]):
-        c0s, c2s = [], []
-        for eq, poly in zip(eqs, polys):
-            e0, e1 = eq[0::2], eq[1::2]
-            p0, p1 = poly[0::2], poly[1::2]
-            c0s.append(F.sum_reduce(spec, F.mont_mul(spec, e0, p0)))
-            c2s.append(
-                F.sum_reduce(
-                    spec,
-                    F.mont_mul(spec, F.sub(spec, e1, e0), F.sub(spec, p1, p0)),
-                )
-            )
-        return jnp.stack(c0s), jnp.stack(c2s)
+    Terms arrive STACKED: eqs/polys (T, n, L). One vectorized mul + one
+    axis-1 reduction covers every term, so the XLA module size is constant
+    in T (the earlier per-term unroll inlined 2*T mont_mul graphs, which
+    this jaxlib's LLVM codegen segfaults on past ~tens of terms)."""
+
+    def round_fn(eqs: jnp.ndarray, polys: jnp.ndarray):
+        e0, e1 = eqs[:, 0::2], eqs[:, 1::2]
+        p0, p1 = polys[:, 0::2], polys[:, 1::2]
+        c0 = F.sum_reduce(spec, F.mont_mul(spec, e0, p0), axis=1)
+        c2 = F.sum_reduce(
+            spec,
+            F.mont_mul(spec, F.sub(spec, e1, e0), F.sub(spec, p1, p0)),
+            axis=1,
+        )
+        return c0, c2
 
     return jax.jit(round_fn)
+
+
+def _make_coeff_fold_fn(spec: FieldSpec):
+    """fix_var on a (T, n, L) stacked table (same pairing as mle.fix_var)."""
+
+    def fold_fn(stacked: jnp.ndarray, x: jnp.ndarray):
+        e0, e1 = stacked[:, 0::2], stacked[:, 1::2]
+        return F.add(
+            spec, F.mont_mul(spec, F.sub(spec, e1, e0), x[None, None, :]), e0
+        )
+
+    return jax.jit(fold_fn)
 
 
 _coeff_fn_cache: Dict[Tuple, object] = {}
@@ -550,8 +567,8 @@ def prove_coeff_products(
     final folded poly arrays [each (1, L)]).
     """
     p = spec.modulus
-    eqs = [t[1] for t in terms]
-    polys = [t[2] for t in terms]
+    eqs = jnp.stack([t[1] for t in terms])  # (T, n, L)
+    polys = jnp.stack([t[2] for t in terms])
     scalars = [t[0] % p for t in terms]
 
     from halo2_lasso_tpu.parallel import sharding as shd
@@ -559,31 +576,30 @@ def prove_coeff_products(
     mesh = shd.active_mesh()
     sharded_now = False
     if mesh is not None and (1 << num_vars) >= 2 * mesh.size:
-        eqs = [shd.shard_evals(mesh, v) for v in eqs]
-        polys = [shd.shard_evals(mesh, v) for v in polys]
+        eqs = shd.shard_evals_axis1(mesh, eqs)
+        polys = shd.shard_evals_axis1(mesh, polys)
         sharded_now = True
 
-    fold_fn = _fold_fn_cache.setdefault(spec.name, _make_fold_fn(spec))
     challenges: List[int] = []
     current_sum = sum_ % p
 
     for rnd in range(num_vars):
         size = 1 << (num_vars - rnd)
         if sharded_now and size < 2 * mesh.size:
-            eqs = [shd.replicate(mesh, v) for v in eqs]
-            polys = [shd.replicate(mesh, v) for v in polys]
+            eqs = shd.replicate(mesh, eqs)
+            polys = shd.replicate(mesh, polys)
             sharded_now = False
         if sharded_now:
-            key = ("sharded", spec.name, id(mesh), len(terms), size)
+            key = ("sharded", spec.name, id(mesh))
             round_fn = _coeff_fn_cache.get(key)
             if round_fn is None:
-                round_fn = shd.make_sharded_coeff_fn(spec, mesh, len(terms))
+                round_fn = shd.make_sharded_coeff_fn(spec, mesh)
                 _coeff_fn_cache[key] = round_fn
         else:
-            key = (spec.name, len(terms), size)
+            key = (spec.name,)
             round_fn = _coeff_fn_cache.get(key)
             if round_fn is None:
-                round_fn = _make_coeff_round_fn(spec, len(terms))
+                round_fn = _make_coeff_round_fn(spec)
                 _coeff_fn_cache[key] = round_fn
         c0d, c2d = round_fn(eqs, polys)
         c0l = [int(v) for v in spec.decode(np.asarray(c0d))]
@@ -599,20 +615,23 @@ def prove_coeff_products(
 
         r_dev = jnp.asarray(spec.encode([r]))[0]
         if sharded_now:
-            fkey = ("sfold", spec.name, id(mesh), 2 * len(terms))
+            fkey = ("sfold", spec.name, id(mesh))
             sfn = _coeff_fn_cache.get(fkey)
             if sfn is None:
-                sfn = shd.make_sharded_fold_fn(spec, mesh, range(2 * len(terms)))
+                sfn = shd.make_sharded_coeff_fold_fn(spec, mesh)
                 _coeff_fn_cache[fkey] = sfn
-            folded = sfn(
-                {i: a for i, a in enumerate(eqs + polys)}, shd.replicate(mesh, r_dev)
-            )
+            eqs = sfn(eqs, shd.replicate(mesh, r_dev))
+            polys = sfn(polys, shd.replicate(mesh, r_dev))
         else:
-            folded = fold_fn({i: a for i, a in enumerate(eqs + polys)}, r_dev)
-        eqs = [folded[i] for i in range(len(eqs))]
-        polys = [folded[i + len(eqs)] for i in range(len(polys))]
+            fkey = ("fold", spec.name)
+            ffn = _coeff_fn_cache.get(fkey)
+            if ffn is None:
+                ffn = _make_coeff_fold_fn(spec)
+                _coeff_fn_cache[fkey] = ffn
+            eqs = ffn(eqs, r_dev)
+            polys = ffn(polys, r_dev)
 
-    return challenges, polys
+    return challenges, [polys[i] for i in range(polys.shape[0])]
 
 
 def verify_coeff(

@@ -8,6 +8,19 @@ suite still passes there, just slower through the device tunnel)."""
 import os
 import sys
 
+# XLA:CPU's ORC JIT allocates three anonymous mappings per compiled function;
+# a HyperPlonk+Lasso prove at nv>=5 crosses the default vm.max_map_count
+# (65530) mid-compile and LLVM dies with "Cannot allocate memory" followed by
+# a segfault/abort. Raise the limit when the environment permits (root
+# container); harmless no-op otherwise.
+try:
+    with open("/proc/sys/vm/max_map_count", "r+") as _f:
+        if int(_f.read()) < 1_048_576:
+            _f.seek(0)
+            _f.write("1048576")
+except OSError:
+    pass
+
 _TPU_MODE = os.environ.get("HALO2_LASSO_TPU_TPU_TESTS", "0") == "1"
 
 # run the suite with prover-internal debug assertions on (the reference's
@@ -50,7 +63,8 @@ _CACHE_DIR = os.path.join(
     "..",
     ".jax_cache_tpu" if _TPU_MODE else ".jax_cache_cpu",
 )
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
+if os.environ.get("HALO2_LASSO_TPU_NO_CACHE", "0") != "1":
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 # XLA's internal per-kernel AOT caches are the source of the
