@@ -451,15 +451,24 @@ def variable_base_msm(
         fn = shd.sharded_msm_cached(mesh, _window_bits(n // mesh.size))
         return fn(pts_sh, scal_sh)
     if n > SMALL_MSM_MAX:
-        # batched-affine halving MSM (ops/msm_affine.py), BOTH platforms:
-        # fewer field muls (~6/add vs ~27 for general Jacobian), one fused
-        # module per tree level on the accelerator, and eager per-op modules
-        # on CPU — which also sidesteps this jaxlib's segfault compiling the
-        # giant single-module scan of the legacy _msm_impl at 2^c buckets
-        # (kept below only for comparison benches / small paths).
-        from halo2_lasso_tpu.ops import msm_affine
+        # pure-Jacobian halving MSM (ops/msm_jacobian.py), BOTH platforms:
+        # scan-free complete-add levels (no batch-inversion latency walls),
+        # bit-plane bucket tree + host power-of-two recombination. The
+        # batched-affine variant (ops/msm_affine.py) spends ~2.3x fewer muls
+        # but its chunked-inversion scans and sequential bucket epilogue are
+        # latency-bound on the TPU (measured 812ms -> ~90ms at 2^16).
+        # HALO2_LASSO_TPU_MSM=affine switches back for comparison benches.
+        import os as _os
 
-        return msm_affine.msm_affine(points, scalars_mont, base=base, scalar=scalar)
+        if _os.environ.get("HALO2_LASSO_TPU_MSM") == "affine":
+            from halo2_lasso_tpu.ops import msm_affine
+
+            return msm_affine.msm_affine(
+                points, scalars_mont, base=base, scalar=scalar
+            )
+        from halo2_lasso_tpu.ops import msm_jacobian
+
+        return msm_jacobian.msm(points, scalars_mont, base=base, scalar=scalar)
     scal = F.from_mont(scalar, scalars_mont)
     out = _msm_small(points, scal[None], base, scalar.num_bits)
     return {k: v[0] for k, v in out.items()}

@@ -1,0 +1,428 @@
+"""Pure-Jacobian halving-tree Pippenger MSM — the latency-free redesign.
+
+Semantics: variable-base MSM (/root/reference/plonkish_backend/src/util/
+arithmetic/msm.rs:84-181). Same window/sort/halving-pair structure as
+ops/msm_affine.py, with the two latency walls of the batched-affine design
+removed (measured on-chip at 2^16: 812ms total, of which ~464ms was the
+sequential bucket/Horner epilogue and most of the rest the chunked batch-
+inversion scans + their 254-step Fermat terminals):
+
+  * every pair combine / bucket flush is ONE branchless complete Jacobian
+    add (23 field muls, dependency-level lane-concatenation so each level
+    module contains ~6 wide pallas mul dispatches and ZERO sequential
+    scans). Jacobian costs ~2.3x the muls of the affine trick but needs no
+    batch inversion at all — on a TPU the VPU is throughput-rich and
+    latency-poor, so trading muls for scan-free modules wins ~5x;
+  * the bucket epilogue is a BIT-PLANE reduction: bucket (w, v) carries
+    weight v*2^{cw}; since v < 2^c the global weight bits of different
+    windows never overlap, so sum_v v*S_{w,v}*2^{cw} = sum_b 2^b * U_b with
+    U_{w,j} = sum of buckets in window w whose index has bit j set. The
+    U_{w,j} come from a log-depth masked pairwise tree (c*W*B add-lanes
+    total, ~10 levels); the final 254-bit power-of-two recombination — a
+    ~253-step inherently sequential double-and-add — runs on the HOST with
+    python-int Jacobian arithmetic (microseconds; device transfer is c*W
+    points = ~50KB).
+
+Tree/epilogue module shapes depend only on (W, B) and the level lane count
+W*n/2^j — the size-n MSM's levels are exactly the tail of the size-2n MSM's,
+so the prover's mixed-size MSMs share one persisted compile set.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from halo2_lasso_tpu.ops.bn254 import Fq, Fr
+from halo2_lasso_tpu.ops.field import LIMB_BITS
+from halo2_lasso_tpu.ops.msm_affine import (
+    L,
+    LANE,
+    _best_c,
+    _digits_all,
+    _iszero_lf,
+    _on_accel,
+    add_lf,
+    mul_lf,
+    mul_lf_traced,
+    sub_lf,
+)
+
+
+def _mulcat(spec, pairs: List[Tuple[jnp.ndarray, jnp.ndarray]]):
+    """One wide elementwise Montgomery mul for a dependency level: the k
+    operand pairs (each (L, X)) are lane-concatenated so the pallas tile
+    kernel sees a single (L, k*X) dispatch."""
+    k = len(pairs)
+    if k == 1:
+        return [mul_lf(pairs[0][0], pairs[0][1], spec)]
+    a = jnp.concatenate([p[0] for p in pairs], axis=1)
+    b = jnp.concatenate([p[1] for p in pairs], axis=1)
+    out = mul_lf(a, b, spec)
+    X = pairs[0][0].shape[1]
+    return [out[:, i * X : (i + 1) * X] for i in range(k)]
+
+
+def _dbl2(spec, a):
+    return add_lf(a, a, spec)
+
+
+def jac_add_lf(spec, px, py, pz, qx, qy, qz):
+    """Branchless complete Jacobian addition, limbs-first (L, X) coords.
+
+    add-2007-bl with the doubling tail computed in the same dependency
+    levels (mirrors ops/ec.ec_add, which is batch-major; this variant keeps
+    limbs-first layout so the muls ride the tile-aligned pallas kernels).
+    Identity is z == 0. 23 muls in 6 lane-concatenated dispatches."""
+    X1, Y1, Z1, X2, Y2, Z2 = px, py, pz, qx, qy, qz
+    Z1Z1, Z2Z2, A2, B2, ZZ12 = _mulcat(
+        spec, [(Z1, Z1), (Z2, Z2), (X1, X1), (Y1, Y1), (Z1, Z2)]
+    )
+    E2 = add_lf(_dbl2(spec, A2), A2, spec)  # 3*X1^2
+    X1B2 = add_lf(X1, B2, spec)
+    U1, U2, T1, T2, C2, Td2, Fv2, Zd3 = _mulcat(
+        spec,
+        [
+            (X1, Z2Z2),
+            (X2, Z1Z1),
+            (Y1, Z2),
+            (Y2, Z1),
+            (B2, B2),
+            (X1B2, X1B2),
+            (E2, E2),
+            (_dbl2(spec, Y1), Z1),
+        ],
+    )
+    S1, S2 = _mulcat(spec, [(T1, Z2Z2), (T2, Z1Z1)])
+    H = sub_lf(U2, U1, spec)
+    Rr = sub_lf(S2, S1, spec)
+
+    # doubling tail (dbl-2009-l pieces already computed above)
+    td = sub_lf(sub_lf(Td2, A2, spec), C2, spec)
+    Dd = _dbl2(spec, td)
+    Xd3 = sub_lf(Fv2, _dbl2(spec, Dd), spec)
+    C8 = _dbl2(spec, _dbl2(spec, _dbl2(spec, C2)))
+
+    HH, RR = _mulcat(spec, [(H, H), (Rr, Rr)])
+    HHH, V, Z3, Yd3h = _mulcat(
+        spec, [(HH, H), (U1, HH), (ZZ12, H), (E2, sub_lf(Dd, Xd3, spec))]
+    )
+    Yd3 = sub_lf(Yd3h, C8, spec)
+    X3 = sub_lf(sub_lf(RR, HHH, spec), _dbl2(spec, V), spec)
+    Y3h, S1HHH = _mulcat(spec, [(Rr, sub_lf(V, X3, spec)), (S1, HHH)])
+    Y3 = sub_lf(Y3h, S1HHH, spec)
+
+    p_id = _iszero_lf(Z1)
+    q_id = _iszero_lf(Z2)
+    h0 = _iszero_lf(H)
+    r0 = _iszero_lf(Rr)
+    both = jnp.logical_and(jnp.logical_not(p_id), jnp.logical_not(q_id))
+    use_dbl = jnp.logical_and(both, jnp.logical_and(h0, r0))
+    use_id = jnp.logical_and(both, jnp.logical_and(h0, jnp.logical_not(r0)))
+
+    def pick(add_v, dbl_v, if_p_id, if_q_id):
+        """if_p_id = Q's coord (result when P = O), if_q_id = P's coord."""
+        v = jnp.where(use_dbl[None, :], dbl_v, add_v)
+        v = jnp.where(use_id[None, :], jnp.zeros_like(v), v)
+        v = jnp.where(p_id[None, :], if_p_id, v)
+        v = jnp.where(
+            q_id[None, :],
+            jnp.where(p_id[None, :], jnp.zeros_like(v), if_q_id),
+            v,
+        )
+        return v
+
+    x3 = pick(X3, Xd3, X2, X1)
+    y3 = pick(Y3, Yd3, Y2, Y1)
+    z3 = pick(Z3, Zd3, Z2, Z1)
+    # p == -q: force z = 0 (x/y already zeroed by pick's use_id branch)
+    z3 = jnp.where(use_id[None, :], jnp.zeros_like(z3), z3)
+    return x3, y3, z3
+
+
+# ---------------------------------------------------------------------------
+# halving level: pair combine / bucket flush, one unified add
+# ---------------------------------------------------------------------------
+
+
+def _level_step(x, y, z, dig, bx, by, bz, B: int, W: int, spec):
+    """One halving level over (L, m) slot arrays (m = W * per-window slots).
+
+    Logical adjacent slots (2i, 2i+1): equal digits -> survivor = A + B;
+    digit boundary -> A is the END of its digit run (sorted desc, order
+    preserved by halving), flush bucket[w, da] += A and B survives. Both
+    cases share one complete Jacobian add (operand-selected); the scatter
+    is conflict-free (<= one boundary per digit per window per level).
+
+    Storage is BIT-REVERSED within each window block (prologue emits it),
+    so the logical pair (2i, 2i+1) is the contiguous (first-half[i],
+    second-half[i]) of the block at EVERY level and the survivor array is
+    already next level's layout — no stride-2 lane de-interleave anywhere
+    (the same trick as ops/pallas_field.py's hypercube storage)."""
+    m = x.shape[1]
+    half = m // 2
+    mw = m // W  # per-window slots
+
+    def halves(a):
+        t = a.reshape(L, W, mw)
+        return (
+            t[:, :, : mw // 2].reshape(L, half),
+            t[:, :, mw // 2 :].reshape(L, half),
+        )
+
+    xa, xb = halves(x)
+    ya, yb = halves(y)
+    za, zb = halves(z)
+    dt = dig.reshape(W, mw)
+    da = dt[:, : mw // 2].reshape(half)
+    db = dt[:, mw // 2 :].reshape(half)
+
+    same = da == db
+    widx = jnp.arange(half, dtype=jnp.uint32) // jnp.uint32(half // W)
+    gslot = widx * jnp.uint32(B) + da
+    gx = jnp.take(bx, gslot, axis=1)
+    gy = jnp.take(by, gslot, axis=1)
+    gz = jnp.take(bz, gslot, axis=1)
+
+    sm = same[None, :]
+    px_, py_, pz_ = (
+        jnp.where(sm, xa, gx),
+        jnp.where(sm, ya, gy),
+        jnp.where(sm, za, gz),
+    )
+    qx_, qy_, qz_ = (
+        jnp.where(sm, xb, xa),
+        jnp.where(sm, yb, ya),
+        jnp.where(sm, zb, za),
+    )
+    rx, ry, rz = jac_add_lf(spec, px_, py_, pz_, qx_, qy_, qz_)
+
+    sx = jnp.where(sm, rx, xb)
+    sy = jnp.where(sm, ry, yb)
+    sz = jnp.where(sm, rz, zb)
+
+    bslot = jnp.where(same, jnp.uint32(W * B), gslot)  # sentinel drops
+    bx = bx.at[:, bslot].set(rx, mode="drop")
+    by = by.at[:, bslot].set(ry, mode="drop")
+    bz = bz.at[:, bslot].set(rz, mode="drop")
+    return sx, sy, sz, db, bx, by, bz
+
+
+@functools.lru_cache(maxsize=None)
+def _level_fn(m: int, W: int, B: int, spec=Fq):
+    def f(x, y, z, dig, bx, by, bz):
+        return _level_step(x, y, z, dig, bx, by, bz, B, W, spec)
+
+    return jax.jit(f) if _on_accel() else f
+
+
+# ---------------------------------------------------------------------------
+# prologue: digits, per-window desc sort, gather
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _prologue_fn(c: int, W: int, base=Fq, scalar=Fr):
+    from halo2_lasso_tpu.ops import field as F
+
+    def f(points_x, points_y, points_z, scalars_mont):
+        from halo2_lasso_tpu.ops.pallas_field import _bitrev_indices
+
+        scal = F.from_mont(scalar, scalars_mont)
+        digits = _digits_all(scal, c, W)  # (W, n)
+        order = jnp.argsort(-digits.astype(jnp.int32), axis=1)  # desc
+        n = order.shape[1]
+        # store sorted rank r at physical position bitrev(r) within each
+        # window block: every level's logical pairs become contiguous halves
+        br = jnp.asarray(_bitrev_indices(n.bit_length() - 1))
+        order = jnp.take(order, br, axis=1)
+        flat = order.reshape(-1)
+        x = jnp.take(jnp.transpose(points_x, (1, 0)), flat, axis=1)
+        y = jnp.take(jnp.transpose(points_y, (1, 0)), flat, axis=1)
+        z = jnp.take(jnp.transpose(points_z, (1, 0)), flat, axis=1)
+        dig = jnp.take_along_axis(digits, order, axis=1).reshape(-1)
+        # digit-0 lanes contribute nothing: identity (z = 0)
+        z = jnp.where((dig == 0)[None, :], jnp.zeros_like(z), z)
+        return x, y, z, dig
+
+    return jax.jit(f) if _on_accel() else f
+
+
+# ---------------------------------------------------------------------------
+# epilogue: final flush + bit-plane bucket tree (device), Horner (host)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _final_flush_fn(W: int, B: int, spec=Fq):
+    def f(x, y, z, dig, bx, by, bz):
+        gslot = jnp.arange(W, dtype=jnp.uint32) * jnp.uint32(B) + dig
+        gx = jnp.take(bx, gslot, axis=1)
+        gy = jnp.take(by, gslot, axis=1)
+        gz = jnp.take(bz, gslot, axis=1)
+        rx, ry, rz = jac_add_lf(spec, gx, gy, gz, x, y, z)
+        bx = bx.at[:, gslot].set(rx)
+        by = by.at[:, gslot].set(ry)
+        bz = bz.at[:, gslot].set(rz)
+        return bx, by, bz
+
+    return jax.jit(f) if _on_accel() else f
+
+
+@functools.lru_cache(maxsize=None)
+def _bitplane_expand_fn(c: int, W: int, B: int, spec=Fq):
+    """(L, W*B) buckets -> (L, c*W*B) masked copies: plane j keeps bucket v
+    iff bit j of v is set (others -> identity via z = 0)."""
+
+    def f(bx, by, bz):
+        v = jnp.tile(jnp.arange(B, dtype=jnp.uint32), (W,))  # (W*B,)
+        keep = jnp.concatenate(
+            [((v >> jnp.uint32(j)) & 1).astype(bool) for j in range(c)]
+        )  # (c*W*B,)
+        xt = jnp.tile(bx, (1, c))
+        yt = jnp.tile(by, (1, c))
+        zt = jnp.tile(bz, (1, c))
+        zt = jnp.where(keep[None, :], zt, jnp.zeros_like(zt))
+        return xt, yt, zt
+
+    return jax.jit(f) if _on_accel() else f
+
+
+@functools.lru_cache(maxsize=None)
+def _tree_level_fn(lanes: int, groups: int, spec=Fq):
+    """Pairwise tree-sum level: (L, lanes) holding `groups` contiguous
+    segments -> (L, lanes/2), adding each segment's first half to its
+    second half (segment-internal sum order is irrelevant — it's a sum)."""
+
+    def f(x, y, z):
+        G = lanes // groups
+
+        def split(a):
+            t = a.reshape(L, groups, G)
+            return (
+                t[:, :, : G // 2].reshape(L, -1),
+                t[:, :, G // 2 :].reshape(L, -1),
+            )
+
+        x0, x1 = split(x)
+        y0, y1 = split(y)
+        z0, z1 = split(z)
+        return jac_add_lf(spec, x0, y0, z0, x1, y1, z1)
+
+    return jax.jit(f) if _on_accel() else f
+
+
+def _host_jac_add(p, q, mod):
+    """Python-int complete Jacobian add (epilogue recombination)."""
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+    if Z1 == 0:
+        return q
+    if Z2 == 0:
+        return p
+    Z1Z1 = Z1 * Z1 % mod
+    Z2Z2 = Z2 * Z2 % mod
+    U1 = X1 * Z2Z2 % mod
+    U2 = X2 * Z1Z1 % mod
+    S1 = Y1 * Z2 * Z2Z2 % mod
+    S2 = Y2 * Z1 * Z1Z1 % mod
+    if U1 == U2:
+        if S1 != S2:
+            return (0, 0, 0)
+        return _host_jac_double(p, mod)
+    H = (U2 - U1) % mod
+    R = (S2 - S1) % mod
+    HH = H * H % mod
+    HHH = HH * H % mod
+    V = U1 * HH % mod
+    X3 = (R * R - HHH - 2 * V) % mod
+    Y3 = (R * (V - X3) - S1 * HHH) % mod
+    Z3 = Z1 * Z2 * H % mod
+    return (X3, Y3, Z3)
+
+
+def _host_jac_double(p, mod):
+    X1, Y1, Z1 = p
+    if Z1 == 0 or Y1 == 0:
+        return (0, 0, 0)
+    A = X1 * X1 % mod
+    B = Y1 * Y1 % mod
+    C = B * B % mod
+    D = 2 * ((X1 + B) * (X1 + B) - A - C) % mod
+    E = 3 * A % mod
+    Fv = E * E % mod
+    X3 = (Fv - 2 * D) % mod
+    Y3 = (E * (D - X3) - 8 * C) % mod
+    Z3 = 2 * Y1 * Z1 % mod
+    return (X3, Y3, Z3)
+
+
+def msm(
+    points_bm: Dict,
+    scalars_mont: jnp.ndarray,
+    base=None,
+    scalar=None,
+) -> Dict:
+    """Variable-base MSM: (n,) batch-major Jacobian point dict + (n, L)
+    Montgomery scalars -> single Jacobian point (batch-major coords (L,)).
+    n must be a power of two (padded by callers)."""
+    from halo2_lasso_tpu.ops import field as F
+
+    base = base or Fq
+    scalar = scalar or Fr
+    assert base.num_limbs == L
+    n = scalars_mont.shape[0]
+    assert n & (n - 1) == 0
+    c = _best_c(n, scalar.num_bits)
+    B = 1 << c
+    W = -(-scalar.num_bits // c)
+
+    x, y, z, dig = _prologue_fn(c, W, base, scalar)(
+        points_bm["x"], points_bm["y"], points_bm["z"], scalars_mont
+    )
+
+    bx = jnp.zeros((L, W * B), jnp.uint32)
+    by = jnp.zeros((L, W * B), jnp.uint32)
+    bz = jnp.zeros((L, W * B), jnp.uint32)
+
+    m = n
+    while m > 1:
+        x, y, z, dig, bx, by, bz = _level_fn(m, W, B, base)(
+            x, y, z, dig, bx, by, bz
+        )
+        m //= 2
+
+    bx, by, bz = _final_flush_fn(W, B, base)(x, y, z, dig, bx, by, bz)
+
+    # bucket reduction: bit-plane masked tree down to c*W partials
+    tx, ty, tz = _bitplane_expand_fn(c, W, B, base)(bx, by, bz)
+    groups = c * W
+    while tx.shape[1] > groups:
+        tx, ty, tz = _tree_level_fn(tx.shape[1], groups, base)(tx, ty, tz)
+
+    # host: sum_{w,j} 2^{c*w+j} * U_{w,j} (double-and-add from the top bit).
+    # One concatenated transfer (c*W points ~ 50KB); the tunnel round-trip
+    # dominates, so avoid three separate device->host pulls.
+    mod = base.modulus
+    all_u = base.decode(
+        np.asarray(jnp.transpose(jnp.concatenate([tx, ty, tz], axis=1), (1, 0)))
+    )
+    ux, uy, uz = all_u[:groups], all_u[groups : 2 * groups], all_u[2 * groups :]
+    by_bit = {}
+    for j in range(c):
+        for w in range(W):
+            pt = (int(ux[j * W + w]), int(uy[j * W + w]), int(uz[j * W + w]))
+            if pt[2] != 0:
+                by_bit[c * w + j] = pt
+    total = (0, 0, 0)
+    for b in range(max(by_bit) if by_bit else 0, -1, -1):
+        total = _host_jac_double(total, mod)
+        if b in by_bit:
+            total = _host_jac_add(total, by_bit[b], mod)
+
+    enc = lambda v: jnp.asarray(base.encode([v]))[0]
+    return {"x": enc(total[0]), "y": enc(total[1]), "z": enc(total[2])}
