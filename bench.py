@@ -127,6 +127,45 @@ def _msm_bench(k: int = 16):
     return {"msm_k": k, "msm_ms": round(dt * 1e3, 1), "msm_points_per_s": round(n / dt, 1)}
 
 
+def _lasso_bench(k: int = 16, table_bits: int = 16):
+    """Lasso Surge prove wall-time at 2^k lookups into a 2^table_bits range
+    table (BASELINE config 2; BENCH_LASSO_K overrides k)."""
+    import time as _time
+
+    import numpy as _np
+
+    from halo2_lasso_tpu import lasso
+    from halo2_lasso_tpu.backend.hyperplonk import new_transcript
+    from halo2_lasso_tpu.lasso.tables import range_table
+    from halo2_lasso_tpu.pcs.multilinear_kzg import MultilinearKzg
+
+    table = range_table(table_bits, table_bits)
+    rng = _np.random.RandomState(7)
+    indices = [int(v) for v in rng.randint(0, 1 << table_bits, size=1 << k)]
+    nv = max(k, table_bits)
+    param = MultilinearKzg.setup(1 << nv, _np.random.RandomState(3))
+    pp, _vp = MultilinearKzg.trim(param, 1 << nv)
+
+    tw = new_transcript()
+    lasso.prove(pp, table, indices, tw)  # warm-up/compile
+    t0 = _time.time()
+    tw = new_transcript()
+    lasso.prove(pp, table, indices, tw)
+    dt = _time.time() - t0
+    return {
+        "lasso_k": k,
+        "lasso_prove_ms": round(dt * 1e3, 1),
+        "lasso_lookups_per_s": round((1 << k) / dt, 1),
+    }
+
+
+def _lasso_bench_guarded():
+    try:
+        return _lasso_bench(int(os.environ.get("BENCH_LASSO_K", "16")))
+    except Exception as e:  # pragma: no cover
+        return {"lasso_error": f"{type(e).__name__}: {e}"[:200]}
+
+
 def _msm_bench_guarded():
     """MSM metric, best-effort: never let an MSM-side failure (e.g. a cold
     compile hitting the image's jaxlib instability) take down the flagship
@@ -189,6 +228,11 @@ def main():
                 extras.update(_msm_bench_guarded())
             else:
                 extras["msm_skipped"] = "time-budget"
+        if os.environ.get("BENCH_LASSO", "1") == "1":
+            if _time_left() > 240:
+                extras.update(_lasso_bench_guarded())
+            else:
+                extras["lasso_skipped"] = "time-budget"
         print(
             json.dumps(
                 {

@@ -566,13 +566,27 @@ def fixed_base_msm(
     """[s_i] * base for each scalar; base is a single point dict, scalars (n, L)
     mont. Returns (n,) point batch. Semantics of msm.rs:67 fixed_base_msm.
     Scalar count is padded to a power of two (>= 64) for compile reuse."""
+    bspec = bspec or Fq
+    sspec = sspec or Fr
     n = scalars_mont.shape[0]
     target = max(64, 1 << (n - 1).bit_length()) if n > 1 else 64
     if target != n:
         scalars_mont = jnp.concatenate(
             [scalars_mont, jnp.zeros((target - n, scalars_mont.shape[1]), jnp.uint32)]
         )
-    out = _fixed_base_msm_impl(base, scalars_mont, nbits, bspec or Fq, sspec or Fr)
+    # windowed per-base table (msm.rs:16-65): W gathers + log-depth tree per
+    # point instead of nbits sequential double/adds. Falls back to the
+    # ladder for an identity base (no affine form).
+    aff = jacobian_to_affine({k: v[None] for k, v in base.items()}, bspec)
+    bx, by = int(aff[0, 0]), int(aff[0, 1])
+    if (bx, by) != (0, 0):
+        from halo2_lasso_tpu.ops import msm_jacobian
+
+        out = msm_jacobian.fixed_base_msm_windowed(
+            (bx, by), scalars_mont, nbits, bspec, sspec
+        )
+    else:
+        out = _fixed_base_msm_impl(base, scalars_mont, nbits, bspec, sspec)
     return {k: v[:n] for k, v in out.items()}
 
 

@@ -361,6 +361,140 @@ def _host_jac_double(p, mod):
     return (X3, Y3, Z3)
 
 
+# ---------------------------------------------------------------------------
+# windowed fixed-base MSM (SRS generation / test point batches)
+# ---------------------------------------------------------------------------
+
+
+def _host_batch_affine(pts, mod):
+    """[(X, Y, Z)] jacobian ints -> [(x, y)] affine ((0,0) for identity),
+    one modular inversion total (Montgomery trick)."""
+    zs = [p[2] for p in pts]
+    pref = [1]
+    for z in zs:
+        pref.append(pref[-1] * (z if z else 1) % mod)
+    inv = pow(pref[-1], mod - 2, mod)
+    out = [None] * len(pts)
+    for i in range(len(pts) - 1, -1, -1):
+        z = zs[i]
+        if z == 0:
+            out[i] = (0, 0)
+            inv_i = None
+        else:
+            inv_i = inv * pref[i] % mod
+            inv = inv * z % mod
+        if inv_i is not None:
+            zi2 = inv_i * inv_i % mod
+            out[i] = (pts[i][0] * zi2 % mod, pts[i][1] * zi2 * inv_i % mod)
+    return out
+
+
+_FB_TABLE_CACHE: Dict[Tuple, Tuple] = {}
+
+
+def _fb_table(base_xy: Tuple[int, int], c: int, nbits: int, spec):
+    """Per-base windowed table (msm.rs:16-65 semantics, built ONCE on the
+    host with bigints — W*B point ops in tens of ms — then uploaded):
+    T[w, v] = v * 2^{c*w} * G, stored limbs-first affine + z-row (identity
+    for v = 0). W is padded to a power of two so the per-call reduction is
+    a uniform halving tree."""
+    W = -(-nbits // c)
+    Wp = 1 << (W - 1).bit_length()
+    key = (base_xy, c, nbits, spec.name)
+    hit = _FB_TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    mod = spec.modulus
+    B = 1 << c
+    rows = []
+    g = (base_xy[0], base_xy[1], 1)
+    for w in range(W):
+        row = [(0, 0, 0)]
+        for v in range(1, B):
+            row.append(_host_jac_add(row[-1], g, mod))
+        rows.extend(row)
+        for _ in range(c):
+            g = _host_jac_double(g, mod)
+    rows.extend([(0, 0, 0)] * ((Wp - W) * B))
+    aff = _host_batch_affine(rows, mod)
+    xs = spec.encode([a[0] for a in aff])
+    ys = spec.encode([a[1] for a in aff])
+    tx = jnp.asarray(np.asarray(xs, np.uint32).T)  # (L, Wp*B)
+    ty = jnp.asarray(np.asarray(ys, np.uint32).T)
+    one = np.asarray(spec.r_limbs, np.uint32)
+    zcol = np.zeros((Wp * B, L), np.uint32)
+    fin = np.array([p[2] != 0 for p in rows], bool)
+    zcol[fin] = one
+    tz = jnp.asarray(zcol.T)
+    out = (Wp, tx, ty, tz)
+    _FB_TABLE_CACHE[key] = out
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _fb_gather_fn(c: int, W: int, Wp: int, base=Fq, scalar=Fr):
+    from halo2_lasso_tpu.ops import field as F
+
+    B = 1 << c
+
+    def f(tx, ty, tz, scalars_mont):
+        scal = F.from_mont(scalar, scalars_mont)
+        digits = _digits_all(scal, c, W)  # (W, n)
+        n = digits.shape[1]
+        woff = (jnp.arange(W, dtype=jnp.uint32) * jnp.uint32(B))[:, None]
+        idx = (digits + woff).reshape(-1)  # (W*n,)
+        x = jnp.take(tx, idx, axis=1)
+        y = jnp.take(ty, idx, axis=1)
+        z = jnp.take(tz, idx, axis=1)
+        if Wp != W:
+            pad = jnp.zeros((L, (Wp - W) * n), jnp.uint32)
+            x = jnp.concatenate([x, pad], axis=1)
+            y = jnp.concatenate([y, pad], axis=1)
+            z = jnp.concatenate([z, pad], axis=1)
+        return x, y, z
+
+    return jax.jit(f) if _on_accel() else f
+
+
+@functools.lru_cache(maxsize=None)
+def _fb_reduce_fn(lanes: int, spec=Fq):
+    """One halving level over the leading window axis of (L, 2h*n)."""
+
+    def f(x, y, z):
+        h = x.shape[1] // 2
+        return jac_add_lf(
+            spec, x[:, :h], y[:, :h], z[:, :h], x[:, h:], y[:, h:], z[:, h:]
+        )
+
+    return jax.jit(f) if _on_accel() else f
+
+
+def fixed_base_msm_windowed(
+    base_xy: Tuple[int, int],
+    scalars_mont: jnp.ndarray,
+    nbits: int = 254,
+    base=None,
+    scalar=None,
+    c: int = 8,
+) -> Dict:
+    """[s_i]*G for a batch of scalars via the cached per-base window table:
+    W gathers + a log-depth Jacobian tree per point (vs the 254 sequential
+    double/adds of the naive ladder). Returns a batch-major (n,) point dict."""
+    base = base or Fq
+    scalar = scalar or Fr
+    W = -(-nbits // c)
+    Wp, tx, ty, tz = _fb_table(base_xy, c, nbits, base)
+    n = scalars_mont.shape[0]
+    x, y, z = _fb_gather_fn(c, W, Wp, base, scalar)(tx, ty, tz, scalars_mont)
+    while x.shape[1] > n:
+        x, y, z = _fb_reduce_fn(x.shape[1], base)(x, y, z)
+    return {
+        "x": jnp.transpose(x, (1, 0)),
+        "y": jnp.transpose(y, (1, 0)),
+        "z": jnp.transpose(z, (1, 0)),
+    }
+
+
 def msm(
     points_bm: Dict,
     scalars_mont: jnp.ndarray,
