@@ -518,11 +518,20 @@ def batch_msm(
         scal = F.from_mont(scalar, scalars_mont)
         res = _msm_small(points, scal, base, scalar.num_bits)
         return jacobian_to_affine(res, base)
-    outs = [
-        variable_base_msm(points, scalars_mont[i], base, scalar) for i in range(B)
-    ]
-    stacked = {k: jnp.stack([o[k] for o in outs]) for k in ("x", "y", "z")}
-    return jacobian_to_affine(stacked, base)
+    mesh = _active_mesh() if base is Fq else None
+    if mesh is not None and target >= 2 * mesh.size:
+        from halo2_lasso_tpu.parallel import sharding as shd
+
+        pts_sh = {k: shd.shard_evals(mesh, v) for k, v in points.items()}
+        fn = shd.sharded_msm_cached(mesh, _window_bits(target // mesh.size))
+        outs = [fn(pts_sh, shd.shard_evals(mesh, scalars_mont[i])) for i in range(B)]
+        stacked = {k: jnp.stack([o[k] for o in outs]) for k in ("x", "y", "z")}
+        return jacobian_to_affine(stacked, base)
+    # all B device pipelines dispatch async; ONE stacked host pull + host
+    # recombination/affine (a per-MSM pull costs one tunnel RTT each)
+    from halo2_lasso_tpu.ops import msm_jacobian
+
+    return msm_jacobian.msm_many_affine(points, scalars_mont, base, scalar)
 
 
 def msm_to_affine_int(
@@ -534,6 +543,63 @@ def msm_to_affine_int(
     res = variable_base_msm(points, scalars_mont, base, scalar)
     out = jacobian_to_affine({k: v[None] for k, v in res.items()}, base or Fq)
     return (int(out[0, 0]), int(out[0, 1]))
+
+
+def msm_list_to_affine_int(
+    jobs: List[Tuple[dict, jnp.ndarray]],
+    base: FieldSpec = None,
+    scalar: FieldSpec = None,
+) -> List[Tuple[int, int]]:
+    """A LIST of independent MSMs (mixed sizes, distinct point sets — the
+    KZG quotient-commit shape) with every device pipeline dispatched async
+    and at most TWO device->host pulls total (one for the large-MSM partial
+    stacks, one for the small-MSM points). A per-MSM pull costs a full
+    tunnel round-trip, which dominated the prover's open phase."""
+    base = base or Fq
+    scalar = scalar or Fr
+    mesh = _active_mesh() if base is Fq else None
+    if mesh is not None:
+        # sharded path: keep the per-job replicated results (virtual-device
+        # meshes are host-local; the RTT concern doesn't apply)
+        return [msm_to_affine_int(p, s, base, scalar) for p, s in jobs]
+
+    from halo2_lasso_tpu.ops import msm_jacobian as MJ
+
+    results: List = [None] * len(jobs)
+    large_parts, large_idx = [], []
+    small_pts, small_idx = [], []
+    cw = None
+    for idx, (points, scal) in enumerate(jobs):
+        points, scal = _pad_msm_inputs(points, scal, spec=base)
+        n = scal.shape[0]
+        if n > SMALL_MSM_MAX:
+            tcat, c, W = MJ._device_partials(points, scal, base, scalar)
+            large_parts.append(tcat)
+            large_idx.append(idx)
+            cw = (c, W)
+        else:
+            sc = F.from_mont(scalar, scal)
+            res = _msm_small(points, sc[None], base, scalar.num_bits)
+            small_pts.append(
+                jnp.concatenate([res["x"][0], res["y"][0], res["z"][0]])
+            )
+            small_idx.append(idx)
+
+    totals: List = [None] * len(jobs)
+    if large_parts:
+        stacked = np.asarray(jnp.stack(large_parts))  # one pull
+        for pos, idx in enumerate(large_idx):
+            all_u = base.decode(stacked[pos].T)
+            totals[idx] = MJ._finish_host(all_u, cw[0], cw[1], base.modulus)
+    if small_pts:
+        L = base.num_limbs
+        raw = np.asarray(jnp.stack(small_pts))  # one pull, (S, 3L)
+        sm = base.decode(raw.reshape(-1, 3, L))
+        for pos, idx in enumerate(small_idx):
+            row = sm[pos]
+            totals[idx] = (int(row[0]), int(row[1]), int(row[2]))
+    aff = MJ._host_batch_affine(totals, base.modulus)
+    return [(int(x), int(y)) for x, y in aff]
 
 
 # ---------------------------------------------------------------------------

@@ -495,20 +495,12 @@ def fixed_base_msm_windowed(
     }
 
 
-def msm(
-    points_bm: Dict,
-    scalars_mont: jnp.ndarray,
-    base=None,
-    scalar=None,
-) -> Dict:
-    """Variable-base MSM: (n,) batch-major Jacobian point dict + (n, L)
-    Montgomery scalars -> single Jacobian point (batch-major coords (L,)).
-    n must be a power of two (padded by callers)."""
-    from halo2_lasso_tpu.ops import field as F
-
-    base = base or Fq
-    scalar = scalar or Fr
-    assert base.num_limbs == L
+def _device_partials(
+    points_bm: Dict, scalars_mont: jnp.ndarray, base, scalar
+) -> Tuple[jnp.ndarray, int, int]:
+    """Device side of the MSM, fully async (no host sync): prologue,
+    halving levels, final flush, bit-plane bucket tree. Returns the
+    ((L, 3*c*W) concat of U partials, c, W)."""
     n = scalars_mont.shape[0]
     assert n & (n - 1) == 0
     c = _best_c(n, scalar.num_bits)
@@ -532,19 +524,17 @@ def msm(
 
     bx, by, bz = _final_flush_fn(W, B, base)(x, y, z, dig, bx, by, bz)
 
-    # bucket reduction: bit-plane masked tree down to c*W partials
     tx, ty, tz = _bitplane_expand_fn(c, W, B, base)(bx, by, bz)
     groups = c * W
     while tx.shape[1] > groups:
         tx, ty, tz = _tree_level_fn(tx.shape[1], groups, base)(tx, ty, tz)
+    return jnp.concatenate([tx, ty, tz], axis=1), c, W
 
-    # host: sum_{w,j} 2^{c*w+j} * U_{w,j} (double-and-add from the top bit).
-    # One concatenated transfer (c*W points ~ 50KB); the tunnel round-trip
-    # dominates, so avoid three separate device->host pulls.
-    mod = base.modulus
-    all_u = base.decode(
-        np.asarray(jnp.transpose(jnp.concatenate([tx, ty, tz], axis=1), (1, 0)))
-    )
+
+def _finish_host(all_u, c: int, W: int, mod: int) -> Tuple[int, int, int]:
+    """sum_{w,j} 2^{c*w+j} * U_{w,j} — the inherently sequential 254-bit
+    power-of-two recombination, in host bigints (microseconds)."""
+    groups = c * W
     ux, uy, uz = all_u[:groups], all_u[groups : 2 * groups], all_u[2 * groups :]
     by_bit = {}
     for j in range(c):
@@ -557,6 +547,56 @@ def msm(
         total = _host_jac_double(total, mod)
         if b in by_bit:
             total = _host_jac_add(total, by_bit[b], mod)
+    return total
 
+
+def msm(
+    points_bm: Dict,
+    scalars_mont: jnp.ndarray,
+    base=None,
+    scalar=None,
+) -> Dict:
+    """Variable-base MSM: (n,) batch-major Jacobian point dict + (n, L)
+    Montgomery scalars -> single Jacobian point (batch-major coords (L,)).
+    n must be a power of two (padded by callers). ONE device->host pull
+    (~50KB of U partials); the tunnel round-trip dominates anything else."""
+    base = base or Fq
+    scalar = scalar or Fr
+    assert base.num_limbs == L
+    tcat, c, W = _device_partials(points_bm, scalars_mont, base, scalar)
+    all_u = base.decode(np.asarray(jnp.transpose(tcat, (1, 0))))
+    total = _finish_host(all_u, c, W, base.modulus)
     enc = lambda v: jnp.asarray(base.encode([v]))[0]
     return {"x": enc(total[0]), "y": enc(total[1]), "z": enc(total[2])}
+
+
+def msm_many_affine(
+    points_bm: Dict,
+    scalars_batch: jnp.ndarray,
+    base=None,
+    scalar=None,
+) -> np.ndarray:
+    """B MSMs over one shared point set: scalars (B, n, L) Montgomery ->
+    host (B, 2) affine object ints (the batch_commit hot path). All B
+    device pipelines are dispatched async; a SINGLE stacked transfer pulls
+    every partial, and the sequential recombinations + the final affine
+    conversion run on the host (one modular inversion total)."""
+    base = base or Fq
+    scalar = scalar or Fr
+    B = scalars_batch.shape[0]
+    parts = []
+    c = W = None
+    for i in range(B):
+        tcat, c, W = _device_partials(points_bm, scalars_batch[i], base, scalar)
+        parts.append(tcat)
+    stacked = np.asarray(jnp.stack(parts))  # (B, L, 3*c*W) one pull
+    mod = base.modulus
+    totals = []
+    for i in range(B):
+        all_u = base.decode(stacked[i].T)
+        totals.append(_finish_host(all_u, c, W, mod))
+    aff = _host_batch_affine(totals, mod)
+    out = np.empty((B, 2), dtype=object)
+    for i, (ax, ay) in enumerate(aff):
+        out[i] = (ax, ay)
+    return out

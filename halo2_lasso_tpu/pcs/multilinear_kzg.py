@@ -177,7 +177,8 @@ class MultilinearKzg(PointCommitmentIO):
             # kzg.rs:286-289: the division remainder is the claimed eval
             got = F.decode_scalar(Fr, np.asarray(_rem))
             assert got == eval_ % Fr.modulus, "kzg open remainder != claimed eval"
-        comms = [ec.msm_to_affine_int(pp.eqs[i], q) for i, q in quotients]
+        # all k quotient MSMs dispatch async with a single host pull
+        comms = ec.msm_list_to_affine_int([(pp.eqs[i], q) for i, q in quotients])
         transcript.write_commitments(comms)
 
     @staticmethod

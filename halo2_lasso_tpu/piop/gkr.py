@@ -75,19 +75,32 @@ def _layer_down_claim(evals: Sequence[int], mu: int, p: int) -> Tuple[List[int],
 
 
 @jax.jit
-def _layer_up(polys: List[jnp.ndarray]) -> List[jnp.ndarray]:
-    """[p_l, p_r, q_l, q_r] per batch -> next layer's 4-tuples."""
+def _layer_up_stacked(pl, pr, ql, qr):
+    """STACKED (b, m, L) layer step: one vectorized mul per product over the
+    whole batch (the earlier per-pair unroll grew the module with b and ran
+    replicated under a mesh). Fraction tree semantics:
+    p' = p_l*q_r + p_r*q_l, q' = q_l*q_r, then split on the high variable."""
     spec = Fr
-    out = []
-    for i in range(0, len(polys), 4):
-        p_l, p_r, q_l, q_r = polys[i : i + 4]
-        p_new = F.add(
-            spec, F.mont_mul(spec, p_l, q_r), F.mont_mul(spec, p_r, q_l)
-        )
-        q_new = F.mont_mul(spec, q_l, q_r)
-        mid = p_new.shape[0] // 2
-        out.extend([p_new[:mid], p_new[mid:], q_new[:mid], q_new[mid:]])
-    return out
+    p_new = F.add(spec, F.mont_mul(spec, pl, qr), F.mont_mul(spec, pr, ql))
+    q_new = F.mont_mul(spec, ql, qr)
+    mid = p_new.shape[1] // 2
+    return (
+        p_new[:, :mid],
+        p_new[:, mid:],
+        q_new[:, :mid],
+        q_new[:, mid:],
+    )
+
+
+def _place_sharded(a: jnp.ndarray) -> jnp.ndarray:
+    """Shard a stacked (b, m, L) layer over the active mesh's data axis
+    (axis 1); XLA GSPMD inserts the halving collectives at the splits."""
+    from halo2_lasso_tpu.parallel import sharding as shd
+
+    mesh = shd.active_mesh()
+    if mesh is not None and a.shape[1] >= 2 * mesh.size:
+        return shd.shard_evals_axis1(mesh, a)
+    return a
 
 
 def prove_fractional_sum_check(
@@ -105,14 +118,27 @@ def prove_fractional_sum_check(
     assert num_batching and len(qs) == num_batching == len(claimed_p_0s) == len(claimed_q_0s)
     num_vars = ps[0].shape[0].bit_length() - 1
 
-    # bottom layer: split each p/q on the highest variable
-    layer: List[jnp.ndarray] = []
-    for p_arr, q_arr in zip(ps, qs):
-        mid = p_arr.shape[0] // 2
-        layer.extend([p_arr[:mid], p_arr[mid:], q_arr[:mid], q_arr[mid:]])
-    layers = [layer]
-    while layers[-1][0].shape[0] > 1:
-        layers.append(_layer_up(layers[-1]))
+    # bottom layer: stack the batch, split on the highest variable; build
+    # upward with ONE vectorized module per level, sharded over the active
+    # mesh's data axis when large enough
+    ps_st = _place_sharded(jnp.stack(ps))  # (b, 2^n, L)
+    qs_st = _place_sharded(jnp.stack(qs))
+    mid = ps_st.shape[1] // 2
+    stacked = (
+        ps_st[:, :mid],
+        ps_st[:, mid:],
+        qs_st[:, :mid],
+        qs_st[:, mid:],
+    )
+    layers_st = [stacked]
+    while layers_st[-1][0].shape[1] > 1:
+        layers_st.append(_layer_up_stacked(*layers_st[-1]))
+
+    # flat [p_l, p_r, q_l, q_r] * b views for the per-layer sumchecks
+    layers = [
+        [st[j][i] for i in range(num_batching) for j in range(4)]
+        for st in layers_st
+    ]
 
     # top-layer claims
     top = layers[-1]

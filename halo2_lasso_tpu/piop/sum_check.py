@@ -500,10 +500,12 @@ def prove(
 
         arrays = {k: PF.from_lf(v) for k, v in lf_tables.items()}
 
-    final_evals = [
-        int(spec.decode(np.asarray(arrays[("poly", i, 0)][0]))[None][0])
-        for i in range(len(virtual_poly.polys))
-    ]
+    # one stacked device->host pull for every final eval (a per-poly pull
+    # costs one tunnel round-trip each — dozens of ms of pure latency)
+    stacked = jnp.stack(
+        [arrays[("poly", i, 0)][0] for i in range(len(virtual_poly.polys))]
+    )
+    final_evals = [int(v) for v in spec.decode(np.asarray(stacked))]
     return challenges, final_evals
 
 
@@ -602,8 +604,10 @@ def prove_coeff_products(
                 round_fn = _make_coeff_round_fn(spec)
                 _coeff_fn_cache[key] = round_fn
         c0d, c2d = round_fn(eqs, polys)
-        c0l = [int(v) for v in spec.decode(np.asarray(c0d))]
-        c2l = [int(v) for v in spec.decode(np.asarray(c2d))]
+        # single device->host pull per round (two pulls = two tunnel RTTs)
+        both = spec.decode(np.asarray(jnp.concatenate([c0d, c2d])))
+        c0l = [int(v) for v in both[: c0d.shape[0]]]
+        c2l = [int(v) for v in both[c0d.shape[0] :]]
         c0 = sum(s * v for s, v in zip(scalars, c0l)) % p
         c2 = sum(s * v for s, v in zip(scalars, c2l)) % p
         c1 = (current_sum - 2 * c0 - c2) % p
