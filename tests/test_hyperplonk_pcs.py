@@ -69,3 +69,10 @@ def test_tampered_proof_rejected(pcs):
     tr = backend.transcript(bytes(bad))
     with pytest.raises(Exception):
         backend.verify(vp, circuit.instances(), tr)
+
+
+@pytest.mark.parametrize("pcs", [Gemini, Zeromorph], ids=lambda c: c.__name__)
+def test_vanilla_plonk_nv10(pcs):
+    # non-toy size in the default suite (reference sweeps to 16,
+    # hyperplonk.rs:398-427); KZG at nv=10 is covered by test_hyperplonk.py
+    run_backend(hyperplonk(pcs), 10, rand_vanilla_plonk_circuit)
