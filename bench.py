@@ -215,24 +215,26 @@ def main():
         extras = {}
         # optional metrics, each gated on the remaining time budget: a cold
         # compile cache makes them minutes each, and the flagship line must
-        # always make it out before the driver's timeout
-        if _time_left() > 120:
+        # always make it out before the driver's timeout. Priority order is
+        # the BASELINE order: the Lasso metric (north-star config 2) first,
+        # then MSM, then the byte-equality selftest.
+        if os.environ.get("BENCH_LASSO", "1") == "1":
+            if _time_left() > 90:
+                extras.update(_lasso_bench_guarded())
+            else:
+                extras["lasso_skipped"] = "time-budget"
+        if os.environ.get("BENCH_MSM", "1") == "1":
+            if _time_left() > 90:
+                extras.update(_msm_bench_guarded())
+            else:
+                extras["msm_skipped"] = "time-budget"
+        if _time_left() > 60:
             try:
                 extras["pallas_selftest"] = _pallas_selftest()
             except Exception as e:  # pragma: no cover
                 extras["pallas_selftest"] = f"ERROR: {type(e).__name__}: {e}"[:200]
         else:
             extras["pallas_selftest"] = "skipped:time-budget"
-        if os.environ.get("BENCH_MSM", "1") == "1":
-            if _time_left() > 120:
-                extras.update(_msm_bench_guarded())
-            else:
-                extras["msm_skipped"] = "time-budget"
-        if os.environ.get("BENCH_LASSO", "1") == "1":
-            if _time_left() > 240:
-                extras.update(_lasso_bench_guarded())
-            else:
-                extras["lasso_skipped"] = "time-budget"
         print(
             json.dumps(
                 {

@@ -144,21 +144,37 @@ def prove(
 ) -> None:
     """Prove that outputs[i] = T[indices[i]] for all i. Generic over any
     additive PCS whose FIELD is Fr (pcs.rs-style class; default KZG)."""
+    from halo2_lasso_tpu.expression import evaluate_jnp
+    from halo2_lasso_tpu.lasso.integration import (
+        _read_ts_and_final_dev,
+        _subtable_dev,
+    )
+
     spec = Fr
-    wit = build_witness(table, indices)
     alpha = len(table.memories)
-    nv_m = wit.num_lookup_vars
+    m = len(indices)
+    assert m & (m - 1) == 0, "pad lookups to a power of two"
+    nv_m = m.bit_length() - 1
     nv_n = table.memories[0].subtable.index_bits
 
-    # ---- encode + commit ----
+    # ---- witness + encode (device-native Surge path) ----
     with timed.scope("lasso_encode"):
-        # vectorized host limb extraction + device Montgomery conversion:
-        # the per-element python encode loop is minutes at 2^20 lookups
-        a_poly = F.encode_dev(spec, wit.outputs)
-        dim_polys = [F.encode_dev(spec, d) for d in wit.dims]
-        e_polys = [F.encode_dev(spec, e) for e in wit.e_vals]
-        ts_polys = [F.encode_dev(spec, t) for t in wit.read_ts]
-        fc_polys = [F.encode_dev(spec, f) for f in wit.final_cts]
+        # chunking is host int64 (vectorized); everything after — subtable
+        # gathers, read-timestamp sort/segment counters, Montgomery encode —
+        # stays on device, so 2^20+ lookups never touch host bigints
+        dims_host = table.chunk_indices_np(np.asarray(indices, dtype=np.int64))
+        dims_u32 = [jnp.asarray(d.astype(np.uint32)) for d in dims_host]
+        dim_polys = [F.u32_to_mont(spec, d) for d in dims_u32]
+        e_polys, ts_polys, fc_polys = [], [], []
+        for mem in table.memories:
+            addr = dims_u32[mem.chunk]
+            e_polys.append(jnp.take(_subtable_dev(mem.subtable), addr, axis=0))
+            ts, fc = _read_ts_and_final_dev(addr, 1 << mem.subtable.index_bits)
+            ts_polys.append(F.u32_to_mont(spec, ts))
+            fc_polys.append(F.u32_to_mont(spec, fc))
+        a_poly = evaluate_jnp(
+            spec, table.g, lambda kind, q: e_polys[q.poly], []
+        )
     m_sized = [a_poly] + dim_polys + e_polys + ts_polys
     with timed.scope("lasso_commit"):
         m_comms = pcs.batch_commit(pp, m_sized)
@@ -185,11 +201,9 @@ def prove(
         subtable_vals: Dict[str, jnp.ndarray] = {}
         for mem in table.memories:
             if mem.subtable.name not in subtable_vals:
-                subtable_vals[mem.subtable.name] = jnp.asarray(
-                    spec.encode(mem.subtable.values())
-                )
+                subtable_vals[mem.subtable.name] = _subtable_dev(mem.subtable)
         one = jnp.broadcast_to(jnp.asarray(spec.one), (1 << nv_m, spec.num_limbs))
-        addr_n = jnp.asarray(spec.encode(np.arange(1 << nv_n, dtype=object)))
+        addr_n = F.u32_to_mont(spec, jnp.arange(1 << nv_n, dtype=jnp.uint32))
         zeros_n = jnp.zeros((1 << nv_n, spec.num_limbs), dtype=jnp.uint32)
         rs_polys, ws_polys, init_polys, final_polys = [], [], [], []
         for j, mem in enumerate(table.memories):

@@ -37,6 +37,7 @@ import dataclasses
 import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -225,6 +226,57 @@ def _read_ts_and_final(addr: np.ndarray, n_sub: int) -> Tuple[np.ndarray, np.nda
     return ts, fc
 
 
+@functools.partial(jax.jit, static_argnums=1)
+def _read_ts_and_final_dev(addr: jnp.ndarray, n_sub: int):
+    """DEVICE sort/segment offline-memory counters: per-read timestamp =
+    rank within its address group; final count = reads per address.
+    The device twin of `_read_ts_and_final` (same semantics, tested equal) —
+    at 2^20 lookups the host round-trip + numpy pass per memory was the last
+    witness-path host cost."""
+    m = addr.shape[0]
+    order = jnp.argsort(addr, stable=True)
+    sa = jnp.take(addr, order)
+    i = jnp.arange(m, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), dtype=bool), sa[1:] != sa[:-1]]
+    )
+    group_start = jax.lax.cummax(jnp.where(is_start, i, 0))
+    ranks = (i - group_start).astype(jnp.uint32)
+    ts = jnp.zeros(m, dtype=jnp.uint32).at[order].set(ranks)
+    fc = jnp.zeros(n_sub, dtype=jnp.uint32).at[addr].add(1)
+    return ts, fc
+
+
+def _digits_from_mont_dev(
+    spec, v_mont: jnp.ndarray, bits: int, b: int, c: int
+) -> Tuple[List[jnp.ndarray], jnp.ndarray]:
+    """Montgomery limbs (n, L) -> c uint32 digit arrays of b bits each +
+    an out-of-range flag, entirely on device.
+
+    16-bit limbs make every b<=16 digit a two-limb shift/mask — the pure
+    uint32 replacement for the per-row host bigint decode (the host loop
+    measured ~16s/column at 2^20; this is one fused XLA pass)."""
+    if b > F.LIMB_BITS:
+        raise LassoIntegrationError("chunk_bits > 16 unsupported on device")
+    limbs = F.from_mont(spec, v_mont)  # canonical (n, L)
+    L = spec.num_limbs
+    # range check: every bit at position >= bits must be zero
+    full = bits // F.LIMB_BITS
+    rem = bits % F.LIMB_BITS
+    hi_zero = jnp.all(limbs[:, full + (1 if rem else 0) :] == 0)
+    if rem:
+        hi_zero = jnp.logical_and(hi_zero, jnp.all(limbs[:, full] < (1 << rem)))
+    digits = []
+    for j in range(c):
+        o = b * j
+        li, sh = divmod(o, F.LIMB_BITS)
+        d = limbs[:, li] >> sh
+        if sh + b > F.LIMB_BITS and li + 1 < L:
+            d = d | (limbs[:, li + 1] << (F.LIMB_BITS - sh))
+        digits.append(d & jnp.uint32((1 << b) - 1))
+    return digits, hi_zero
+
+
 def build_lookup_witness(
     spec,
     lookup: LassoLookup,
@@ -232,9 +284,16 @@ def build_lookup_witness(
     polys: Sequence[jnp.ndarray],
     challenges: Sequence[int],
     num_vars: int,
-) -> Tuple[List[jnp.ndarray], List[np.ndarray]]:
+) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
     """Evaluate the lookup's input expressions over all rows and build the
-    committed local polys (device) + final_cts arrays (host, per memory)."""
+    committed local polys + final_cts arrays — all on device.
+
+    Device-native Surge witness path: expression eval, digit extraction,
+    subtable gathers, and the sort/segment read-timestamp counters all stay
+    on device; the only host sync is one bool per input expression (the
+    range check). Replaces the hashmap counters of the reference's logup
+    m-poly builder (prover.rs:150-180) with index arithmetic, as SURVEY §2
+    prescribes for the TPU."""
     from halo2_lasso_tpu.backend.hyperplonk.prover import _expr_leaf_fn
 
     t = lookup.table
@@ -243,47 +302,40 @@ def build_lookup_witness(
     n = 1 << num_vars
     chal_dev = [jnp.asarray(spec.encode([ch]))[0] for ch in challenges]
 
-    def eval_ints(e: Expression, bits: int) -> np.ndarray:
+    def eval_digits(e: Expression, bits: int, nch: int) -> List[jnp.ndarray]:
         leaf = _expr_leaf_fn(spec, num_vars, polys, e)
         v = evaluate_jnp(spec, e, leaf, chal_dev)
         if v.ndim == 1:
             v = jnp.broadcast_to(v, (n,) + v.shape)
-        vals = spec.decode(np.asarray(v))
-        if int(max(vals)) >> bits:
+        digits, in_range = _digits_from_mont_dev(spec, v, bits, b, nch)
+        if not bool(np.asarray(in_range)):
             raise LassoIntegrationError(
                 f"lookup input out of range for table {t.name} ({bits} bits)"
             )
-        return np.asarray(vals, dtype=np.int64)
+        return digits
 
-    mask = (1 << b) - 1
     if t.interleaved_operands:
         ob = b * c
-        x = eval_ints(lookup.inputs[0], ob)
-        y = eval_ints(lookup.inputs[1], ob)
-        dims = [(x >> (b * j)) & mask for j in range(c)] + [
-            (y >> (b * j)) & mask for j in range(c)
-        ]
+        dims = eval_digits(lookup.inputs[0], ob, c) + eval_digits(
+            lookup.inputs[1], ob, c
+        )
     else:
-        idx = eval_ints(lookup.inputs[0], t.index_bits)
-        dims = [(idx >> (b * j)) & mask for j in range(c)]
+        dims = eval_digits(lookup.inputs[0], t.index_bits, c)
 
     local: List = [None] * layout.num_local
     for j, d in enumerate(dims):
-        local[j] = d
-    fcs: List[np.ndarray] = []
+        local[j] = F.u32_to_mont(spec, d)
+    fcs: List[jnp.ndarray] = []
     for ms in layout.mems:
-        addr = dims[ms.addr_terms[0][0]] * ms.addr_terms[0][1]
+        addr = dims[ms.addr_terms[0][0]] * jnp.uint32(ms.addr_terms[0][1])
         for dl, coeff in ms.addr_terms[1:]:
-            addr = addr + dims[dl] * coeff
+            addr = addr + dims[dl] * jnp.uint32(coeff)
         if ms.e_local >= layout.num_dims:
-            local[ms.e_local] = ms.subtable.values()[addr]
-        ts, fc = _read_ts_and_final(addr, 1 << ms.subtable.index_bits)
-        local[ms.ts_local] = ts
-        fcs.append(fc)
-    return (
-        [F.encode_dev(spec, a) for a in local],
-        [F.encode_dev(spec, f) for f in fcs],
-    )
+            local[ms.e_local] = jnp.take(_subtable_dev(ms.subtable), addr, axis=0)
+        ts, fc = _read_ts_and_final_dev(addr, 1 << ms.subtable.index_bits)
+        local[ms.ts_local] = F.u32_to_mont(spec, ts)
+        fcs.append(F.u32_to_mont(spec, fc))
+    return local, fcs
 
 
 # ---------------------------------------------------------------------------
@@ -327,7 +379,9 @@ def _n_groups(layouts: Sequence[LassoLayout]) -> Dict[int, List[Tuple[int, int]]
 
 @functools.lru_cache(maxsize=None)
 def _subtable_dev(subtable: Subtable):
-    return jnp.asarray(Fr.encode(subtable.values()))
+    # encode_dev: vectorized host limb extraction + one device mont_mul —
+    # the per-element `encode` loop costs seconds at 2^16 subtable sizes
+    return F.encode_dev(Fr, subtable.values())
 
 
 def prove_memory_check(
@@ -364,7 +418,7 @@ def prove_memory_check(
     x_ns: Dict[int, List[int]] = {}
     for nv_n, members in _n_groups(layouts).items():
         n_sub = 1 << nv_n
-        addr_n = jnp.asarray(spec.encode(np.arange(n_sub, dtype=object)))
+        addr_n = F.u32_to_mont(spec, jnp.arange(n_sub, dtype=jnp.uint32))
         zeros_n = jnp.zeros((n_sub, spec.num_limbs), dtype=jnp.uint32)
         inits, finals = [], []
         for li, mi in members:

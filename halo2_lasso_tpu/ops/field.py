@@ -367,6 +367,23 @@ def encode_dev(spec: FieldSpec, values) -> jnp.ndarray:
     return to_mont(spec, jnp.asarray(spec.canonical_limbs(values)))
 
 
+def u32_to_mont(spec: FieldSpec, x: jnp.ndarray) -> jnp.ndarray:
+    """DEVICE uint32 (...,) small values -> Montgomery limbs (..., L).
+
+    The fully device-resident path for witness integers (Lasso dims,
+    read timestamps, final counts): two 16-bit limb extractions + one
+    mont_mul by R^2 — no host round-trip anywhere."""
+    x = x.astype(jnp.uint32)
+    lo = x & LIMB_MASK
+    hi = x >> LIMB_BITS
+    zeros = jnp.zeros(x.shape + (spec.num_limbs - 2,), dtype=jnp.uint32)
+    limbs = jnp.concatenate([lo[..., None], hi[..., None], zeros], axis=-1)
+    return to_mont(spec, limbs)
+
+
+u32_to_mont = jax.jit(u32_to_mont, static_argnums=0)
+
+
 def pow_fixed(spec: FieldSpec, a: jnp.ndarray, exponent: int) -> jnp.ndarray:
     """a^exponent for a host-known exponent, via fori_loop square-and-multiply
     (small XLA graph; the 2*nbits sequential muls are fully batched)."""

@@ -39,12 +39,12 @@ def run_backend(num_vars, circuit_fn):
 _BIG = os.environ.get("HALO2_LASSO_TPU_BIG_TESTS", "0") == "1"
 
 
-@pytest.mark.parametrize("num_vars", [2, 3, 4, 6, 8, 10] + ([12] if _BIG else []))
+@pytest.mark.parametrize("num_vars", [2, 3, 4, 6, 8, 10, 12] + ([14] if _BIG else []))
 def test_vanilla_plonk(num_vars):
     run_backend(num_vars, rand_vanilla_plonk_circuit)
 
 
-@pytest.mark.parametrize("num_vars", [2, 4, 8] + ([6, 9] if _BIG else []))
+@pytest.mark.parametrize("num_vars", [2, 4, 8, 10] + ([6, 9, 12] if _BIG else []))
 def test_vanilla_plonk_with_lookup(num_vars):
     run_backend(num_vars, rand_vanilla_plonk_with_lookup_circuit)
 

@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from halo2_lasso_tpu.backend.hyperplonk import hyperplonk
+from halo2_lasso_tpu.errors import Halo2LassoError
 from halo2_lasso_tpu.backend.hyperplonk.fixtures import (
     rand_vanilla_plonk_circuit,
     rand_vanilla_plonk_with_lookup_circuit,
@@ -52,12 +53,14 @@ def run_backend(backend, num_vars, circuit_fn):
 
 @pytest.mark.parametrize("pcs", PCS_CLASSES, ids=lambda c: c.__name__)
 def test_vanilla_plonk(pcs):
-    run_backend(hyperplonk(pcs), 3, rand_vanilla_plonk_circuit)
+    # reference exercises each PCS to nv=16 (hyperplonk.rs:398-427);
+    # nv=6 default here, nv=10 for the KZG-family below
+    run_backend(hyperplonk(pcs), 6, rand_vanilla_plonk_circuit)
 
 
 @pytest.mark.parametrize("pcs", PCS_CLASSES, ids=lambda c: c.__name__)
 def test_vanilla_plonk_with_lookup(pcs):
-    run_backend(hyperplonk(pcs), 3, rand_vanilla_plonk_with_lookup_circuit)
+    run_backend(hyperplonk(pcs), 6, rand_vanilla_plonk_with_lookup_circuit)
 
 
 @pytest.mark.parametrize("pcs", [Gemini, MultilinearIpa], ids=lambda c: c.__name__)
@@ -67,7 +70,7 @@ def test_tampered_proof_rejected(pcs):
     bad = bytearray(proof)
     bad[len(bad) // 2] ^= 1
     tr = backend.transcript(bytes(bad))
-    with pytest.raises(Exception):
+    with pytest.raises(Halo2LassoError):
         backend.verify(vp, circuit.instances(), tr)
 
 

@@ -38,7 +38,7 @@ def run_lasso_backend(num_vars, **kw):
     return proof, pp, vp, circuit
 
 
-@pytest.mark.parametrize("num_vars", [3, 5] + ([8] if _BIG else []))
+@pytest.mark.parametrize("num_vars", [3, 5, 10] + ([12] if _BIG else []))
 def test_lasso_hyperplonk_e2e(num_vars):
     run_lasso_backend(num_vars)
 
