@@ -80,16 +80,35 @@ def bench_hyperplonk(circuit: str, k: int, samples: int) -> float:
     return (time.perf_counter() - t0) / samples * 1e3
 
 
-def bench_lasso_range(k: int, samples: int) -> float:
+def _lasso_table(circuit: str):
+    from halo2_lasso_tpu.lasso.tables import (
+        and_table,
+        lt_table,
+        range_table,
+        xor_table,
+    )
+
+    # lasso_range: BASELINE config 2 (2^16 range table);
+    # lasso_and/xor/lt: config 3 structured 32-bit operand tables (2^16
+    # Surge subtables, grand-product memory check)
+    return {
+        "lasso_range": lambda: range_table(16, 16),
+        "lasso_and": lambda: and_table(32, 8),
+        "lasso_xor": lambda: xor_table(32, 8),
+        "lasso_lt": lambda: lt_table(32, 8),
+    }[circuit]()
+
+
+def bench_lasso(circuit: str, k: int, samples: int) -> float:
     from halo2_lasso_tpu import lasso
     from halo2_lasso_tpu.backend.hyperplonk import new_transcript
-    from halo2_lasso_tpu.lasso.tables import range_table
     from halo2_lasso_tpu.pcs.multilinear_kzg import MultilinearKzg
 
-    table = range_table(16, 16)
+    table = _lasso_table(circuit)
     rng = np.random.RandomState(7)
-    indices = [int(v) for v in rng.randint(0, 1 << 16, size=1 << k)]
-    nv = max(k, 16)
+    hi = min(table.index_bits, 62)
+    indices = [int(v) for v in rng.randint(0, 1 << hi, size=1 << k, dtype=np.int64)]
+    nv = max(k, table.memories[0].subtable.index_bits)
     param = MultilinearKzg.setup(1 << nv, np.random.RandomState(3))
     pp, _vp = MultilinearKzg.trim(param, 1 << nv)
 
@@ -103,13 +122,43 @@ def bench_lasso_range(k: int, samples: int) -> float:
     return (time.perf_counter() - t0) / samples * 1e3
 
 
+def bench_arx_chain(k: int, samples: int) -> float:
+    """Structured big circuit (frontend/arx.py; reference counterpart:
+    benchmark sha256/aggregation circuits) e2e through HyperPlonk."""
+    from halo2_lasso_tpu.backend.hyperplonk import HyperPlonk, new_transcript
+    from halo2_lasso_tpu.frontend.arx import arx_chain_circuit
+
+    info, circ = arx_chain_circuit(k)
+    param = HyperPlonk.setup(info, np.random.RandomState(0))
+    pp, vp = HyperPlonk.preprocess(param, info)
+
+    tw = new_transcript()
+    HyperPlonk.prove(pp, circ, tw)  # warm-up
+    tr = new_transcript(tw.into_proof())
+    HyperPlonk.verify(vp, circ.instances(), tr)
+
+    t0 = time.perf_counter()
+    for _ in range(samples):
+        tw = new_transcript()
+        HyperPlonk.prove(pp, circ, tw)
+    return (time.perf_counter() - t0) / samples * 1e3
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--system", default="hyperplonk", choices=["hyperplonk"])
     ap.add_argument(
         "--circuit",
         default="vanilla_plonk",
-        choices=["vanilla_plonk", "vanilla_plonk_with_lookup", "lasso_range"],
+        choices=[
+            "vanilla_plonk",
+            "vanilla_plonk_with_lookup",
+            "lasso_range",
+            "lasso_and",
+            "lasso_xor",
+            "lasso_lt",
+            "arx_chain",
+        ],
     )
     ap.add_argument("--k", default="4..8", help="k or k range lo..hi")
     ap.add_argument("--samples", type=int, default=None)
@@ -124,14 +173,17 @@ def main():
     outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "target", "bench")
     os.makedirs(outdir, exist_ok=True)
     # reference appends to target/bench/<system> (proof_system.rs:306-319);
-    # lasso_range is this framework's own circuit — keep its sweep separate
-    name = "lasso_range" if args.circuit == "lasso_range" else args.system
+    # lasso_* / arx_chain are this framework's own circuits — separate files
+    own = args.circuit.startswith("lasso_") or args.circuit == "arx_chain"
+    name = args.circuit if own else args.system
     outfile = os.path.join(outdir, name)
 
     for k in ks:
         samples = args.samples or sample_size(k)
-        if args.circuit == "lasso_range":
-            avg_ms = bench_lasso_range(k, samples)
+        if args.circuit.startswith("lasso_"):
+            avg_ms = bench_lasso(args.circuit, k, samples)
+        elif args.circuit == "arx_chain":
+            avg_ms = bench_arx_chain(k, samples)
         else:
             avg_ms = bench_hyperplonk(args.circuit, k, samples)
         line = f"{k}, {avg_ms:.3f}"

@@ -117,6 +117,57 @@ def rand_lasso_circuit(
     return circuit_info, MockCircuit([], [w_x, w_y, w_and, w_s, w_r])
 
 
+def rand_full_feature_circuit(
+    num_vars: int,
+    preprocess_rng,
+    witness_rng,
+    operand_bits: int = 8,
+    chunk_bits: int = 4,
+    range_bits: int = 8,
+):
+    """Every prover feature in one circuit: plonkish gate + copy constraint
+    + a logup lookup (preprocessed table column) + two Lasso lookups — the
+    full-feature shape for the sharded-proof identity check and the
+    multichip dryrun (test pattern of backend.rs:202-241).
+
+    Columns: [tbl (preprocess), w_x, w_y, w_and, w_s, w_r, w_t];
+    gate: w_x + w_y - w_s = 0;  logup: w_t in tbl;  Lasso:
+    w_and == AND[w_x, w_y], w_r == range[w_r];  copy: w_r[2] == w_r[5]."""
+    from halo2_lasso_tpu.lasso.integration import LassoLookup
+    from halo2_lasso_tpu.lasso.tables import and_table, range_table
+
+    assert num_vars >= 3
+    size = 1 << num_vars
+    t_vals = [0, 0] + [
+        int(v) for v in preprocess_rng.randint(0, 1 << range_bits, size - 2)
+    ]
+    w_x = [int(v) for v in witness_rng.randint(0, 1 << operand_bits, size)]
+    w_y = [int(v) for v in witness_rng.randint(0, 1 << operand_bits, size)]
+    w_and = [x & y for x, y in zip(w_x, w_y)]
+    w_s = [(x + y) % P for x, y in zip(w_x, w_y)]
+    w_r = [int(v) for v in witness_rng.randint(0, 1 << range_bits, size)]
+    w_r[5] = w_r[2]
+    w_t = [t_vals[int(witness_rng.randint(size))] for _ in range(size)]
+
+    tbl, x, y, a, s, r, t = [Expression.poly(i) for i in range(7)]
+    circuit_info = PlonkishCircuitInfo(
+        k=num_vars,
+        num_instances=[],
+        preprocess_polys=[t_vals],
+        num_witness_polys=[6],
+        num_challenges=[0],
+        constraints=[x + y - s],
+        lookups=[[(t, tbl)]],
+        permutations=[[(5, 2), (5, 5)]],
+        max_degree=4,
+        lasso_lookups=[
+            LassoLookup(and_table(operand_bits, chunk_bits), (x, y), a),
+            LassoLookup(range_table(range_bits, range_bits), (r,), r),
+        ],
+    )
+    return circuit_info, MockCircuit([], [w_x, w_y, w_and, w_s, w_r, w_t])
+
+
 class TwoPhaseCircuit(MockCircuit):
     """Two witness phases with a phase-0 challenge used in a gate.
 

@@ -71,6 +71,7 @@ class CircuitBuilder:
         self._challenges_per_phase = [0] * num_phases
         self._gates: List[Tuple[str, Callable]] = []
         self._lookups: List[Tuple[str, List[Tuple[Callable, Callable]]]] = []
+        self._lasso_lookups: List[Tuple[str, object, Callable]] = []
         self._copies: List[Tuple[ColumnQuery, int, ColumnQuery, int]] = []
         self.max_degree: Optional[int] = None
 
@@ -104,6 +105,17 @@ class CircuitBuilder:
 
     def lookup(self, name: str, fn: Callable[["ExprCtx"], List[Tuple[Expression, Expression]]]):
         self._lookups.append((name, fn))
+
+    def lasso_lookup(self, name: str, table, fn):
+        """Declare a Lasso lookup (the reference goal's first-class lookup
+        argument; see lasso/integration.py). `table` is a LassoTable;
+        `fn(ctx) -> (inputs, output)` where `inputs` is a sequence of one
+        index Expression (plain tables) or two operand Expressions
+        (interleaved-operand tables like AND/XOR/LT) and `output` is the
+        looked-up value Expression — all over rotation-0 column refs.
+        Mirrors how the reference frontend routes user circuits into every
+        backend feature (frontend/halo2.rs:100-216)."""
+        self._lasso_lookups.append((name, table, fn))
 
     def copy(self, a: Column, row_a: int, b: Column, row_b: int):
         """Equality constraint between two cells (row-indexed)."""
@@ -139,16 +151,25 @@ class CircuitBuilder:
         rm = row_mapping(self.k)
 
         preprocess = []
+        by_col: Dict[int, List[Tuple[int, int]]] = {}
+        for (ci, row), v in fixed_assignments.items():
+            by_col.setdefault(ci, []).append((row, v))
         for col in self._fixed_cols:
             vals = [0] * self.n
-            for (ci, row), v in fixed_assignments.items():
-                if ci == col.index:
-                    vals[int(rm[row])] = v % P
+            for row, v in by_col.get(col.index, ()):
+                vals[int(rm[row])] = v % P
             preprocess.append(vals)
 
         ctx = self
         constraints = [fn(ctx) for _, fn in self._gates]
         lookups = [fn(ctx) for _, fn in self._lookups]
+        lasso_lookups = []
+        if self._lasso_lookups:
+            from halo2_lasso_tpu.lasso.integration import LassoLookup
+
+            for _, table, fn in self._lasso_lookups:
+                inputs, output = fn(ctx)
+                lasso_lookups.append(LassoLookup(table, tuple(inputs), output))
 
         permutations = _cycles_from_copies(
             [
@@ -171,6 +192,7 @@ class CircuitBuilder:
             lookups=lookups,
             permutations=permutations,
             max_degree=self.max_degree,
+            lasso_lookups=lasso_lookups,
         )
         return info, BuiltCircuit(self, advice_fn, instances, rm)
 
@@ -190,6 +212,13 @@ class BuiltCircuit(PlonkishCircuit):
         n = self._builder.n
         out = []
         for col in cols_rows:
+            if isinstance(col, np.ndarray) and col.dtype != object:
+                # vectorized scatter for machine-int witnesses (the python
+                # per-row loop costs seconds per column at 2^20 rows)
+                vals = np.zeros(n, dtype=np.int64)
+                vals[self._rm[: len(col)]] = col
+                out.append(vals)
+                continue
             vals = [0] * n
             for row, v in enumerate(col):
                 vals[int(self._rm[row])] = v % P

@@ -53,6 +53,22 @@ from halo2_lasso_tpu.ops.msm_affine import (
 )
 
 
+def jac_add(spec, px, py, pz, qx, qy, qz):
+    """Complete Jacobian add on (L, X) limbs-first coords — ONE fused pallas
+    kernel when the shape is tile-friendly (all ~23 muls + selects in a
+    single VMEM-resident pass; measured ~4x the lane-concatenated multi-
+    dispatch path it replaces), else the traced jac_add_lf fallback."""
+    n = px.shape[1]
+    if spec.name == Fq.name and _on_accel() and n % LANE == 0 and n >= 256:
+        from halo2_lasso_tpu.ops.pallas_ec import TILE_S, _ec_add_call
+
+        S = n // LANE
+        if S <= TILE_S or S % TILE_S == 0:
+            ox, oy, oz = _ec_add_call(n)(px, py, pz, qx, qy, qz)
+            return ox, oy, oz
+    return jac_add_lf(spec, px, py, pz, qx, qy, qz)
+
+
 def _mulcat(spec, pairs: List[Tuple[jnp.ndarray, jnp.ndarray]]):
     """One wide elementwise Montgomery mul for a dependency level: the k
     operand pairs (each (L, X)) are lane-concatenated so the pallas tile
@@ -199,7 +215,7 @@ def _level_step(x, y, z, dig, bx, by, bz, B: int, W: int, spec):
         jnp.where(sm, yb, ya),
         jnp.where(sm, zb, za),
     )
-    rx, ry, rz = jac_add_lf(spec, px_, py_, pz_, qx_, qy_, qz_)
+    rx, ry, rz = jac_add(spec, px_, py_, pz_, qx_, qy_, qz_)
 
     sx = jnp.where(sm, rx, xb)
     sy = jnp.where(sm, ry, yb)
@@ -264,7 +280,7 @@ def _final_flush_fn(W: int, B: int, spec=Fq):
         gx = jnp.take(bx, gslot, axis=1)
         gy = jnp.take(by, gslot, axis=1)
         gz = jnp.take(bz, gslot, axis=1)
-        rx, ry, rz = jac_add_lf(spec, gx, gy, gz, x, y, z)
+        rx, ry, rz = jac_add(spec, gx, gy, gz, x, y, z)
         bx = bx.at[:, gslot].set(rx)
         by = by.at[:, gslot].set(ry)
         bz = bz.at[:, gslot].set(rz)
@@ -311,7 +327,7 @@ def _tree_level_fn(lanes: int, groups: int, spec=Fq):
         x0, x1 = split(x)
         y0, y1 = split(y)
         z0, z1 = split(z)
-        return jac_add_lf(spec, x0, y0, z0, x1, y1, z1)
+        return jac_add(spec, x0, y0, z0, x1, y1, z1)
 
     return jax.jit(f) if _on_accel() else f
 
@@ -462,7 +478,7 @@ def _fb_reduce_fn(lanes: int, spec=Fq):
 
     def f(x, y, z):
         h = x.shape[1] // 2
-        return jac_add_lf(
+        return jac_add(
             spec, x[:, :h], y[:, :h], z[:, :h], x[:, h:], y[:, h:], z[:, h:]
         )
 

@@ -285,7 +285,15 @@ def _sharded_round(
         if fn is None:
             fn = shd.make_sharded_chunk_fn(spec, mesh, terms, degree, num_challenges)
             _round_fn_cache[cache_key] = fn
-        chunk_outs.append((idxs, fn(arrays, chal_stack)))
+        # shard_map's in_specs cover exactly the chunk's used leaf keys —
+        # pass that subset (a full-dict arg trips the pytree key check when
+        # a chunk doesn't touch every leaf, e.g. lasso-heavy expressions)
+        used = []
+        for t in terms:
+            for k in _term_leaf_keys(t):
+                if k not in used:
+                    used.append(k)
+        chunk_outs.append((idxs, fn({k: arrays[k] for k in used}, chal_stack)))
     msg_tail = [0] * degree
     for idxs, out in chunk_outs:
         vals = spec.decode(np.asarray(out))  # (degree, T) object ints

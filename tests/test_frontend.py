@@ -58,3 +58,91 @@ def test_builder_e2e():
     proof = tw.into_proof()
     tr = new_transcript(proof)
     HyperPlonk.verify(vp, instances, tr)
+
+
+def test_builder_lasso_lookup():
+    """Declare a Lasso AND-table lookup straight from the frontend builder
+    (frontend reaches every backend feature, frontend/halo2.rs:100-216)."""
+    from halo2_lasso_tpu.expression import Expression
+    from halo2_lasso_tpu.lasso.tables import and_table
+
+    k = 3
+    b = CircuitBuilder(k)
+    x = b.advice_column()
+    y = b.advice_column()
+    z = b.advice_column()
+    b.max_degree = 4
+    table = and_table(4, 2)
+    b.lasso_lookup(
+        "and", table, lambda ctx: ((ctx.expr(x), ctx.expr(y)), ctx.expr(z))
+    )
+
+    xv = [5, 9, 15, 0, 3, 7, 1, 2]
+    yv = [3, 12, 15, 0, 1, 7, 0, 2]
+    zv = [a & c for a, c in zip(xv, yv)]
+
+    info, circuit = b.build({}, lambda phase, ch: [xv, yv, zv], [])
+    assert info.is_well_formed()
+    assert len(info.lasso_lookups) == 1
+
+    param = HyperPlonk.setup(info, np.random.RandomState(0))
+    pp, vp = HyperPlonk.preprocess(param, info)
+    tw = new_transcript()
+    HyperPlonk.prove(pp, circuit, tw)
+    tr = new_transcript(tw.into_proof())
+    HyperPlonk.verify(vp, circuit.instances(), tr)
+
+
+def test_builder_two_phase_challenge():
+    """Multi-phase witness + challenge through the builder: phase-1 advice
+    synthesized against the phase-0 squeezed challenge
+    (frontend/halo2.rs:222-244 semantics)."""
+    from halo2_lasso_tpu.expression import Expression
+
+    k = 3
+    b = CircuitBuilder(k, num_phases=2)
+    w0 = b.advice_column(0)
+    w1 = b.advice_column(1)
+    th = b.challenge(0)
+    b.max_degree = 4
+    b.gate(
+        "phase1",
+        lambda ctx: Expression.challenge(th) * ctx.expr(w0)
+        + ctx.expr(w0) * ctx.expr(w0)
+        - ctx.expr(w1),
+    )
+
+    rng = np.random.RandomState(42)
+    w0_vals = [int(v) for v in rng.randint(0, 1 << 16, 1 << k)]
+
+    def advice_fn(phase, challenges):
+        if phase == 0:
+            return [w0_vals]
+        theta = challenges[0]
+        return [[(theta * v + v * v) % P for v in w0_vals]]
+
+    info, circuit = b.build({}, advice_fn, [])
+    assert info.is_well_formed()
+    assert info.num_challenges == [1, 0]
+
+    param = HyperPlonk.setup(info, np.random.RandomState(0))
+    pp, vp = HyperPlonk.preprocess(param, info)
+    tw = new_transcript()
+    HyperPlonk.prove(pp, circuit, tw)
+    tr = new_transcript(tw.into_proof())
+    HyperPlonk.verify(vp, circuit.instances(), tr)
+
+
+def test_arx_chain_e2e():
+    """The structured big-circuit fixture (frontend/arx.py) at reduced size:
+    8-bit words, 4-bit xor chunks, rot 3 — gates + three Lasso tables."""
+    from halo2_lasso_tpu.frontend.arx import arx_chain_circuit
+
+    info, circuit = arx_chain_circuit(4, word_bits=8, chunk_bits=4, rot=3)
+    assert info.is_well_formed()
+    param = HyperPlonk.setup(info, np.random.RandomState(0))
+    pp, vp = HyperPlonk.preprocess(param, info)
+    tw = new_transcript()
+    HyperPlonk.prove(pp, circuit, tw)
+    tr = new_transcript(tw.into_proof())
+    HyperPlonk.verify(vp, circuit.instances(), tr)

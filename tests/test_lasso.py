@@ -1,6 +1,8 @@
 """Lasso end-to-end: range/AND/LT tables, prove + verify round trips,
 negative tests (wrong output, out-of-range index)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -139,3 +141,21 @@ def test_lasso_over_gemini():
     tr2 = new_t(bytes(bad))
     with pytest.raises(Exception):
         verify(vp, table, nv_m, tr2, pcs=Gemini)
+
+
+@pytest.mark.skipif(
+    os.environ.get("HALO2_LASSO_TPU_BIG_TESTS", "0") != "1",
+    reason="BIG: 32-bit structured tables (2^16 Surge subtables)",
+)
+@pytest.mark.parametrize("factory", [and_table, xor_table, lt_table])
+def test_lasso_structured_32bit_big(factory):
+    """BASELINE config-3 shape at CI scale: 2^12 lookups into the 32-bit
+    operand tables (8-bit chunks -> 2^16 subtables, full grand-product
+    memory check). The 2^20-lookup numbers are recorded on TPU by
+    benchmarks/proof_system.py --circuit lasso_and/xor/lt."""
+    table = factory(32, 8)
+    rng = np.random.RandomState(11)
+    indices = [
+        int(v) for v in rng.randint(0, 1 << 62, size=1 << 12, dtype=np.int64)
+    ]
+    run_lasso(table, indices)

@@ -159,3 +159,34 @@ def test_sharded_sumcheck_with_rotation_byte_identical(mesh):
         return tw.into_proof()
 
     assert run(mesh) == run(None)
+
+
+def test_sharded_full_feature_proof_byte_identical(mesh):
+    """Sharded proof identity on the FULL feature set: gates + copies +
+    logup lookup + two Lasso lookups (sharded Surge witness, GKR grand
+    products and memory check) at nv=6 — VERDICT r3 weak #5."""
+    from halo2_lasso_tpu.backend.hyperplonk import HyperPlonk, new_transcript
+    from halo2_lasso_tpu.backend.hyperplonk.fixtures import (
+        rand_full_feature_circuit,
+    )
+
+    nv = 6
+    circuit_info, circuit = rand_full_feature_circuit(
+        nv, np.random.RandomState(nv), np.random.RandomState(100 + nv)
+    )
+    param = HyperPlonk.setup(circuit_info, np.random.RandomState(0))
+    pp, vp = HyperPlonk.preprocess(param, circuit_info)
+
+    tw = new_transcript()
+    HyperPlonk.prove(pp, circuit, tw)
+    proof_single = tw.into_proof()
+
+    with sh.use_mesh(mesh):
+        tw2 = new_transcript()
+        HyperPlonk.prove(pp, circuit, tw2)
+        proof_sharded = tw2.into_proof()
+
+    assert proof_sharded == proof_single
+
+    tr = new_transcript(proof_sharded)
+    HyperPlonk.verify(vp, circuit.instances(), tr)
