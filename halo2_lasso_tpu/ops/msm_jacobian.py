@@ -200,9 +200,11 @@ def _level_step(x, y, z, dig, bx, by, bz, B: int, W: int, spec):
     same = da == db
     widx = jnp.arange(half, dtype=jnp.uint32) // jnp.uint32(half // W)
     gslot = widx * jnp.uint32(B) + da
-    gx = jnp.take(bx, gslot, axis=1)
-    gy = jnp.take(by, gslot, axis=1)
-    gz = jnp.take(bz, gslot, axis=1)
+    # buckets are BATCH-MAJOR (W*B, L): row gathers/scatters (fast on TPU)
+    # + a transpose, instead of serialized lane-dim gathers
+    gx = jnp.transpose(jnp.take(bx, gslot, axis=0), (1, 0))
+    gy = jnp.transpose(jnp.take(by, gslot, axis=0), (1, 0))
+    gz = jnp.transpose(jnp.take(bz, gslot, axis=0), (1, 0))
 
     sm = same[None, :]
     px_, py_, pz_ = (
@@ -222,9 +224,9 @@ def _level_step(x, y, z, dig, bx, by, bz, B: int, W: int, spec):
     sz = jnp.where(sm, rz, zb)
 
     bslot = jnp.where(same, jnp.uint32(W * B), gslot)  # sentinel drops
-    bx = bx.at[:, bslot].set(rx, mode="drop")
-    by = by.at[:, bslot].set(ry, mode="drop")
-    bz = bz.at[:, bslot].set(rz, mode="drop")
+    bx = bx.at[bslot].set(jnp.transpose(rx, (1, 0)), mode="drop")
+    by = by.at[bslot].set(jnp.transpose(ry, (1, 0)), mode="drop")
+    bz = bz.at[bslot].set(jnp.transpose(rz, (1, 0)), mode="drop")
     return sx, sy, sz, db, bx, by, bz
 
 
@@ -257,9 +259,12 @@ def _prologue_fn(c: int, W: int, base=Fq, scalar=Fr):
         br = jnp.asarray(_bitrev_indices(n.bit_length() - 1))
         order = jnp.take(order, br, axis=1)
         flat = order.reshape(-1)
-        x = jnp.take(jnp.transpose(points_x, (1, 0)), flat, axis=1)
-        y = jnp.take(jnp.transpose(points_y, (1, 0)), flat, axis=1)
-        z = jnp.take(jnp.transpose(points_z, (1, 0)), flat, axis=1)
+        # gather along the MAJOR (row) axis of the (n, L) batch-major inputs
+        # then transpose: TPU minor-dim (lane) gathers serialize; the
+        # row-gather + transpose form is several times faster at W*n lanes
+        x = jnp.transpose(jnp.take(points_x, flat, axis=0), (1, 0))
+        y = jnp.transpose(jnp.take(points_y, flat, axis=0), (1, 0))
+        z = jnp.transpose(jnp.take(points_z, flat, axis=0), (1, 0))
         dig = jnp.take_along_axis(digits, order, axis=1).reshape(-1)
         # digit-0 lanes contribute nothing: identity (z = 0)
         z = jnp.where((dig == 0)[None, :], jnp.zeros_like(z), z)
@@ -277,13 +282,13 @@ def _prologue_fn(c: int, W: int, base=Fq, scalar=Fr):
 def _final_flush_fn(W: int, B: int, spec=Fq):
     def f(x, y, z, dig, bx, by, bz):
         gslot = jnp.arange(W, dtype=jnp.uint32) * jnp.uint32(B) + dig
-        gx = jnp.take(bx, gslot, axis=1)
-        gy = jnp.take(by, gslot, axis=1)
-        gz = jnp.take(bz, gslot, axis=1)
+        gx = jnp.transpose(jnp.take(bx, gslot, axis=0), (1, 0))
+        gy = jnp.transpose(jnp.take(by, gslot, axis=0), (1, 0))
+        gz = jnp.transpose(jnp.take(bz, gslot, axis=0), (1, 0))
         rx, ry, rz = jac_add(spec, gx, gy, gz, x, y, z)
-        bx = bx.at[:, gslot].set(rx)
-        by = by.at[:, gslot].set(ry)
-        bz = bz.at[:, gslot].set(rz)
+        bx = bx.at[gslot].set(jnp.transpose(rx, (1, 0)))
+        by = by.at[gslot].set(jnp.transpose(ry, (1, 0)))
+        bz = bz.at[gslot].set(jnp.transpose(rz, (1, 0)))
         return bx, by, bz
 
     return jax.jit(f) if _on_accel() else f
@@ -299,6 +304,7 @@ def _bitplane_expand_fn(c: int, W: int, B: int, spec=Fq):
         keep = jnp.concatenate(
             [((v >> jnp.uint32(j)) & 1).astype(bool) for j in range(c)]
         )  # (c*W*B,)
+        bx, by, bz = (jnp.transpose(a, (1, 0)) for a in (bx, by, bz))
         xt = jnp.tile(bx, (1, c))
         yt = jnp.tile(by, (1, c))
         zt = jnp.tile(bz, (1, c))
@@ -527,9 +533,9 @@ def _device_partials(
         points_bm["x"], points_bm["y"], points_bm["z"], scalars_mont
     )
 
-    bx = jnp.zeros((L, W * B), jnp.uint32)
-    by = jnp.zeros((L, W * B), jnp.uint32)
-    bz = jnp.zeros((L, W * B), jnp.uint32)
+    bx = jnp.zeros((W * B, L), jnp.uint32)
+    by = jnp.zeros((W * B, L), jnp.uint32)
+    bz = jnp.zeros((W * B, L), jnp.uint32)
 
     m = n
     while m > 1:

@@ -40,22 +40,20 @@ sync(x)
 t0 = time.time(); x, y, z, dig = pro(pts["x"], pts["y"], pts["z"], scal); sync(x)
 print(f"prologue: {(time.time()-t0)*1e3:.1f}ms", flush=True)
 
-# pure add chain (halving widths, no bucket logic)
-def pure_chain(x, y, z):
-    m = x.shape[1]
-    while m > 1:
-        h = m // 2
-        x, y, z = MJ.jac_add(Fq, x[:, :h], y[:, :h], z[:, :h], x[:, h:], y[:, h:], z[:, h:])
-        m = h
-    return x
-pure_chain(x, y, z); 
-r = pure_chain(x, y, z); sync(r)
-t0 = time.time(); r = pure_chain(x, y, z); sync(r)
-print(f"pure add chain (W*n={W*n} lanes): {(time.time()-t0)*1e3:.1f}ms", flush=True)
+# sort probe: is the prologue argsort the wall?
+from halo2_lasso_tpu.ops import field as F
+@jax.jit
+def sort_probe(scal):
+    sc = F.from_mont(Fr, scal)
+    digits = MJ._digits_all(sc, c, W)
+    return jnp.argsort(-digits.astype(jnp.int32), axis=1)
+o = sort_probe(scal); sync(o)
+t0 = time.time(); o = sort_probe(scal); sync(o)
+print(f"from_mont+digits+argsort only: {(time.time()-t0)*1e3:.1f}ms", flush=True)
 
 # full level loop
 def levels(x, y, z, dig):
-    bx = jnp.zeros((L, W * B), jnp.uint32); by = jnp.zeros_like(bx); bz = jnp.zeros_like(bx)
+    bx = jnp.zeros((W * B, L), jnp.uint32); by = jnp.zeros_like(bx); bz = jnp.zeros_like(bx)
     m = n
     while m > 1:
         x, y, z, dig, bx, by, bz = MJ._level_fn(m, W, B, Fq)(x, y, z, dig, bx, by, bz)
