@@ -648,9 +648,26 @@ def fixed_base_msm(
     if (bx, by) != (0, 0):
         from halo2_lasso_tpu.ops import msm_jacobian
 
-        out = msm_jacobian.fixed_base_msm_windowed(
-            (bx, by), scalars_mont, nbits, bspec, sspec
-        )
+        # the windowed gather materializes (L, Wp*n) per coordinate; at
+        # 2^20+ scalars that is tens of GB — process bounded slices (the
+        # per-slice shapes are shared, so compiles are reused)
+        W = -(-nbits // 8)
+        Wp = 1 << (W - 1).bit_length()
+        limit = max(64, (1 << 23) // Wp)
+        if scalars_mont.shape[0] > limit:
+            parts = [
+                msm_jacobian.fixed_base_msm_windowed(
+                    (bx, by), scalars_mont[off : off + limit], nbits, bspec, sspec
+                )
+                for off in range(0, scalars_mont.shape[0], limit)
+            ]
+            out = {
+                k: jnp.concatenate([pt[k] for pt in parts]) for k in parts[0]
+            }
+        else:
+            out = msm_jacobian.fixed_base_msm_windowed(
+                (bx, by), scalars_mont, nbits, bspec, sspec
+            )
     else:
         out = _fixed_base_msm_impl(base, scalars_mont, nbits, bspec, sspec)
     return {k: v[:n] for k, v in out.items()}

@@ -572,6 +572,12 @@ def _finish_host(all_u, c: int, W: int, mod: int) -> Tuple[int, int, int]:
     return total
 
 
+# above this many points, one MSM is split into slices summed on the host:
+# the halving levels materialize (L, W*n) x 3 coords x in+out — ~10GB at
+# n=2^20 on a 16GB chip
+_MSM_SLICE = 1 << 19
+
+
 def msm(
     points_bm: Dict,
     scalars_mont: jnp.ndarray,
@@ -585,9 +591,23 @@ def msm(
     base = base or Fq
     scalar = scalar or Fr
     assert base.num_limbs == L
-    tcat, c, W = _device_partials(points_bm, scalars_mont, base, scalar)
-    all_u = base.decode(np.asarray(jnp.transpose(tcat, (1, 0))))
-    total = _finish_host(all_u, c, W, base.modulus)
+    n = scalars_mont.shape[0]
+    parts = []
+    c = W = None
+    for off in range(0, n, _MSM_SLICE):
+        tcat, c, W = _device_partials(
+            {k: v[off : off + _MSM_SLICE] for k, v in points_bm.items()},
+            scalars_mont[off : off + _MSM_SLICE],
+            base,
+            scalar,
+        )
+        parts.append(tcat)
+    total = (0, 0, 0)
+    for tcat in parts:
+        all_u = base.decode(np.asarray(jnp.transpose(tcat, (1, 0))))
+        total = _host_jac_add(
+            total, _finish_host(all_u, c, W, base.modulus), base.modulus
+        )
     enc = lambda v: jnp.asarray(base.encode([v]))[0]
     return {"x": enc(total[0]), "y": enc(total[1]), "z": enc(total[2])}
 
@@ -606,17 +626,28 @@ def msm_many_affine(
     base = base or Fq
     scalar = scalar or Fr
     B = scalars_batch.shape[0]
+    n = scalars_batch.shape[1]
+    slices = list(range(0, n, _MSM_SLICE))
     parts = []
     c = W = None
     for i in range(B):
-        tcat, c, W = _device_partials(points_bm, scalars_batch[i], base, scalar)
-        parts.append(tcat)
-    stacked = np.asarray(jnp.stack(parts))  # (B, L, 3*c*W) one pull
+        for off in slices:
+            tcat, c, W = _device_partials(
+                {k: v[off : off + _MSM_SLICE] for k, v in points_bm.items()},
+                scalars_batch[i][off : off + _MSM_SLICE],
+                base,
+                scalar,
+            )
+            parts.append(tcat)
+    stacked = np.asarray(jnp.stack(parts))  # (B*slices, L, 3*c*W) one pull
     mod = base.modulus
     totals = []
     for i in range(B):
-        all_u = base.decode(stacked[i].T)
-        totals.append(_finish_host(all_u, c, W, mod))
+        total = (0, 0, 0)
+        for j in range(len(slices)):
+            all_u = base.decode(stacked[i * len(slices) + j].T)
+            total = _host_jac_add(total, _finish_host(all_u, c, W, mod), mod)
+        totals.append(total)
     aff = _host_batch_affine(totals, mod)
     out = np.empty((B, 2), dtype=object)
     for i, (ax, ay) in enumerate(aff):

@@ -25,6 +25,7 @@ TPU-native design (not a port):
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Sequence, Tuple
 
 import jax
@@ -251,6 +252,61 @@ def _make_chunk_fn(spec: FieldSpec, terms: Sequence[Expression], degree: int):
     return jax.jit(chunk_fn)
 
 
+def _host_tail_pull(spec: FieldSpec, arrays: Dict):
+    """ONE stacked device->host pull of every leaf table (object ints)."""
+    hkeys = sorted(arrays.keys())
+    stacked = jnp.stack([arrays[k] for k in hkeys])
+    flat = spec.decode(np.asarray(stacked))  # (K, size) object
+    return {k: flat[i] for i, k in enumerate(hkeys)}
+
+
+def _host_round_msg(
+    p: int, coeff_terms, coeff_vals, host_arrays: Dict, challenges, degree: int
+) -> List[int]:
+    """Round message (t = 1..degree) over HOST object-int tables — exact
+    mod-p twin of _make_chunk_fn. Below the host-tail threshold the
+    remaining rounds cost microseconds of bigint math; running them on the
+    host removes the 2-3 device round-trips per round that dominate small
+    rounds through the device tunnel (~2s of pure RTT per sumcheck at
+    nv=16 before this)."""
+    from halo2_lasso_tpu.expression import evaluate_host
+
+    lo = {k: v[0::2] for k, v in host_arrays.items()}
+    e1 = {k: v[1::2] for k, v in host_arrays.items()}
+    half = next(iter(e1.values())).shape[0] if e1 else 1
+    step = {k: e1[k] - lo[k] for k in e1}
+
+    def leaf_builder(values):
+        def leaf(kind, arg):
+            if kind == "identity":
+                return values[("identity",)]
+            if kind == "lagrange":
+                return values[("lagrange", arg)]
+            if kind == "eq_xy":
+                return values[("eq", arg)]
+            if kind == "poly":
+                return values[("poly", arg.poly, arg.rotation)]
+            raise ValueError(kind)
+
+        return leaf
+
+    msg_tail = []
+    values = e1
+    for t in range(1, degree + 1):
+        if t > 1:
+            values = {k: (values[k] + step[k]) % p for k in values}
+        total = 0
+        for i, (_, term) in enumerate(coeff_terms):
+            v = evaluate_host(term, p, leaf_builder(values), challenges)
+            if np.ndim(v) == 0:
+                s = int(v) * half
+            else:
+                s = int(np.sum(v))
+            total += coeff_vals[i] * s
+        msg_tail.append(total % p)
+    return msg_tail
+
+
 def _sharded_round(
     spec: FieldSpec,
     mesh,
@@ -359,8 +415,12 @@ def prove(
         jnp.asarray(spec.encode([c]))[0] for c in virtual_poly.challenges
     ]
 
-    expr_key = id(expression)
-    _round_fn_cache.setdefault(("expr", expr_key), expression)  # keep alive
+    # STRUCTURAL key: provers rebuild structurally-identical Expression
+    # objects every proof; an id()-based key made every per-round pallas
+    # kernel miss the in-process cache, re-loading ~16 XLA modules per
+    # sumcheck through the device tunnel (~2s each — 32s of pure reload per
+    # Lasso primary sumcheck at nv=16)
+    expr_key = expression.structural_key
     fold_fn = _fold_fn_cache.setdefault(spec.name, _make_fold_fn(spec))
 
     # chunked round evaluation: undo the top-level challenge batching so each
@@ -409,6 +469,11 @@ def prove(
         chal_stack = shd.replicate(mesh, chal_stack)
         sharded_now = True
 
+    # below this size the remaining rounds run on HOST bigints: one stacked
+    # pull, zero further device round-trips (matching proof bytes exactly)
+    HOST_TAIL = int(os.environ.get("HALO2_LASSO_TPU_HOST_TAIL", "1024"))
+    host_arrays = None
+
     for rnd in range(num_vars):
         size = 1 << (num_vars - rnd)
 
@@ -417,7 +482,24 @@ def prove(
             arrays = {k: shd.replicate(mesh, v) for k, v in arrays.items()}
             sharded_now = False
 
-        if sharded_now:
+        if host_arrays is None and not sharded_now and size <= HOST_TAIL:
+            if lf_tables is not None:
+                from halo2_lasso_tpu.ops import pallas_field as PF
+
+                arrays = {k: PF.from_lf(v) for k, v in lf_tables.items()}
+                lf_tables = None
+            host_arrays = _host_tail_pull(spec, arrays)
+
+        if host_arrays is not None:
+            msg_tail = _host_round_msg(
+                p,
+                coeff_terms,
+                coeff_vals,
+                host_arrays,
+                list(virtual_poly.challenges),
+                degree,
+            )
+        elif sharded_now:
             msg_tail = _sharded_round(
                 spec,
                 mesh,
@@ -483,6 +565,12 @@ def prove(
         challenges.append(r)
         current_sum = barycentric_interpolate(p, weights, points, evals, r)
 
+        if host_arrays is not None:
+            host_arrays = {
+                k: (v[0::2] + (v[1::2] - v[0::2]) * r) % p
+                for k, v in host_arrays.items()
+            }
+            continue
         r_dev = jnp.asarray(spec.encode([r]))[0]
         if sharded_now:
             skey = ("sfold", spec.name, id(mesh), tuple(sorted(arrays)))
@@ -502,6 +590,12 @@ def prove(
             lf_tables = ffn(lf_tables, r_dev[:, None])
         else:
             arrays = fold_fn(arrays, r_dev)
+
+    if host_arrays is not None:
+        return challenges, [
+            int(host_arrays[("poly", i, 0)][0]) % p
+            for i in range(len(virtual_poly.polys))
+        ]
 
     if lf_tables is not None:
         from halo2_lasso_tpu.ops import pallas_field as PF
@@ -592,6 +686,12 @@ def prove_coeff_products(
 
     challenges: List[int] = []
     current_sum = sum_ % p
+    # host-bigint tail (same rationale as the EvaluationsProver host tail:
+    # small rounds are pure tunnel-RTT; one stacked pull, zero further
+    # device round-trips, identical proof bytes)
+    HOST_TAIL = int(os.environ.get("HALO2_LASSO_TPU_HOST_TAIL", "1024"))
+    host_eqs = host_polys = None
+    T = eqs.shape[0]
 
     for rnd in range(num_vars):
         size = 1 << (num_vars - rnd)
@@ -599,7 +699,18 @@ def prove_coeff_products(
             eqs = shd.replicate(mesh, eqs)
             polys = shd.replicate(mesh, polys)
             sharded_now = False
-        if sharded_now:
+        if host_eqs is None and not sharded_now and size <= HOST_TAIL:
+            both = spec.decode(np.asarray(jnp.concatenate([eqs, polys])))
+            host_eqs, host_polys = both[:T], both[T:]
+        if host_eqs is not None:
+            e0h, e1h = host_eqs[:, 0::2], host_eqs[:, 1::2]
+            p0h, p1h = host_polys[:, 0::2], host_polys[:, 1::2]
+            c0l = [int(np.sum(e0h[j] * p0h[j]) % p) for j in range(T)]
+            c2l = [
+                int(np.sum((e1h[j] - e0h[j]) * (p1h[j] - p0h[j])) % p)
+                for j in range(T)
+            ]
+        elif sharded_now:
             key = ("sharded", spec.name, id(mesh))
             round_fn = _coeff_fn_cache.get(key)
             if round_fn is None:
@@ -611,11 +722,12 @@ def prove_coeff_products(
             if round_fn is None:
                 round_fn = _make_coeff_round_fn(spec)
                 _coeff_fn_cache[key] = round_fn
-        c0d, c2d = round_fn(eqs, polys)
-        # single device->host pull per round (two pulls = two tunnel RTTs)
-        both = spec.decode(np.asarray(jnp.concatenate([c0d, c2d])))
-        c0l = [int(v) for v in both[: c0d.shape[0]]]
-        c2l = [int(v) for v in both[c0d.shape[0] :]]
+        if host_eqs is None:
+            c0d, c2d = round_fn(eqs, polys)
+            # single device->host pull per round (two pulls = two RTTs)
+            both = spec.decode(np.asarray(jnp.concatenate([c0d, c2d])))
+            c0l = [int(v) for v in both[: c0d.shape[0]]]
+            c2l = [int(v) for v in both[c0d.shape[0] :]]
         c0 = sum(s * v for s, v in zip(scalars, c0l)) % p
         c2 = sum(s * v for s, v in zip(scalars, c2l)) % p
         c1 = (current_sum - 2 * c0 - c2) % p
@@ -625,6 +737,12 @@ def prove_coeff_products(
         challenges.append(r)
         current_sum = (c0 + c1 * r + c2 * r * r) % p
 
+        if host_eqs is not None:
+            host_eqs = (host_eqs[:, 0::2] + (host_eqs[:, 1::2] - host_eqs[:, 0::2]) * r) % p
+            host_polys = (
+                host_polys[:, 0::2] + (host_polys[:, 1::2] - host_polys[:, 0::2]) * r
+            ) % p
+            continue
         r_dev = jnp.asarray(spec.encode([r]))[0]
         if sharded_now:
             fkey = ("sfold", spec.name, id(mesh))
@@ -643,6 +761,11 @@ def prove_coeff_products(
             eqs = ffn(eqs, r_dev)
             polys = ffn(polys, r_dev)
 
+    if host_polys is not None:
+        return challenges, [
+            jnp.asarray(spec.encode([int(host_polys[j][0]) % p]))
+            for j in range(T)
+        ]
     return challenges, [polys[i] for i in range(polys.shape[0])]
 
 
