@@ -573,9 +573,19 @@ def msm_list_to_affine_int(
         points, scal = _pad_msm_inputs(points, scal, spec=base)
         n = scal.shape[0]
         if n > SMALL_MSM_MAX:
-            tcat, c, W = MJ._device_partials(points, scal, base, scalar)
-            large_parts.append(tcat)
-            large_idx.append(idx)
+            # big jobs run in bounded slices (MJ._MSM_SLICE) summed on the
+            # host — one unsliced 2^19+ level module alone exceeds HBM
+            positions = []
+            for off in range(0, n, MJ._MSM_SLICE):
+                tcat, c, W = MJ._device_partials(
+                    {k: v[off : off + MJ._MSM_SLICE] for k, v in points.items()},
+                    scal[off : off + MJ._MSM_SLICE],
+                    base,
+                    scalar,
+                )
+                positions.append(len(large_parts))
+                large_parts.append(tcat)
+            large_idx.append((idx, positions))
             cw = (c, W)
         else:
             sc = F.from_mont(scalar, scal)
@@ -588,9 +598,16 @@ def msm_list_to_affine_int(
     totals: List = [None] * len(jobs)
     if large_parts:
         stacked = np.asarray(jnp.stack(large_parts))  # one pull
-        for pos, idx in enumerate(large_idx):
-            all_u = base.decode(stacked[pos].T)
-            totals[idx] = MJ._finish_host(all_u, cw[0], cw[1], base.modulus)
+        for idx, positions in large_idx:
+            total = (0, 0, 0)
+            for pos in positions:
+                all_u = base.decode(stacked[pos].T)
+                total = MJ._host_jac_add(
+                    total,
+                    MJ._finish_host(all_u, cw[0], cw[1], base.modulus),
+                    base.modulus,
+                )
+            totals[idx] = total
     if small_pts:
         L = base.num_limbs
         raw = np.asarray(jnp.stack(small_pts))  # one pull, (S, 3L)

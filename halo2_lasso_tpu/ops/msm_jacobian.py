@@ -200,33 +200,37 @@ def _level_step(x, y, z, dig, bx, by, bz, B: int, W: int, spec):
     same = da == db
     widx = jnp.arange(half, dtype=jnp.uint32) // jnp.uint32(half // W)
     gslot = widx * jnp.uint32(B) + da
-    # buckets are BATCH-MAJOR (W*B, L): row gathers/scatters (fast on TPU)
-    # + a transpose, instead of serialized lane-dim gathers
-    gx = jnp.transpose(jnp.take(bx, gslot, axis=0), (1, 0))
-    gy = jnp.transpose(jnp.take(by, gslot, axis=0), (1, 0))
-    gz = jnp.transpose(jnp.take(bz, gslot, axis=0), (1, 0))
 
+    # unified add: same-digit pairs combine A + B; boundary pairs pass A
+    # through (q forced to identity). The flushed value then reaches its
+    # bucket via an INDEX scatter + small gather + one W*B-wide add — a
+    # direct (L, half) point-coordinate scatter makes XLA:TPU relayout the
+    # 16-limb axis into lanes (8x padding, 1.6GB copies at 2^18 slices).
     sm = same[None, :]
-    px_, py_, pz_ = (
-        jnp.where(sm, xa, gx),
-        jnp.where(sm, ya, gy),
-        jnp.where(sm, za, gz),
-    )
     qx_, qy_, qz_ = (
         jnp.where(sm, xb, xa),
         jnp.where(sm, yb, ya),
-        jnp.where(sm, zb, za),
+        jnp.where(sm, zb, jnp.zeros_like(za)),
     )
-    rx, ry, rz = jac_add(spec, px_, py_, pz_, qx_, qy_, qz_)
+    rx, ry, rz = jac_add(spec, xa, ya, za, qx_, qy_, qz_)
 
     sx = jnp.where(sm, rx, xb)
     sy = jnp.where(sm, ry, yb)
     sz = jnp.where(sm, rz, zb)
 
-    bslot = jnp.where(same, jnp.uint32(W * B), gslot)  # sentinel drops
-    bx = bx.at[bslot].set(jnp.transpose(rx, (1, 0)), mode="drop")
-    by = by.at[bslot].set(jnp.transpose(ry, (1, 0)), mode="drop")
-    bz = bz.at[bslot].set(jnp.transpose(rz, (1, 0)), mode="drop")
+    bslot = jnp.where(same, jnp.int32(W * B), gslot.astype(jnp.int32))
+    lane_of = (
+        jnp.zeros(W * B, jnp.int32)
+        .at[bslot]
+        .set(jnp.arange(1, half + 1, dtype=jnp.int32), mode="drop")
+    )
+    has = lane_of > 0
+    fx = jnp.take(rx, lane_of - 1, axis=1, mode="clip")
+    fy = jnp.take(ry, lane_of - 1, axis=1, mode="clip")
+    fz = jnp.where(
+        has[None, :], jnp.take(rz, lane_of - 1, axis=1, mode="clip"), 0
+    )
+    bx, by, bz = jac_add(spec, bx, by, bz, fx, fy, fz)
     return sx, sy, sz, db, bx, by, bz
 
 
@@ -259,12 +263,9 @@ def _prologue_fn(c: int, W: int, base=Fq, scalar=Fr):
         br = jnp.asarray(_bitrev_indices(n.bit_length() - 1))
         order = jnp.take(order, br, axis=1)
         flat = order.reshape(-1)
-        # gather along the MAJOR (row) axis of the (n, L) batch-major inputs
-        # then transpose: TPU minor-dim (lane) gathers serialize; the
-        # row-gather + transpose form is several times faster at W*n lanes
-        x = jnp.transpose(jnp.take(points_x, flat, axis=0), (1, 0))
-        y = jnp.transpose(jnp.take(points_y, flat, axis=0), (1, 0))
-        z = jnp.transpose(jnp.take(points_z, flat, axis=0), (1, 0))
+        x = jnp.take(jnp.transpose(points_x, (1, 0)), flat, axis=1)
+        y = jnp.take(jnp.transpose(points_y, (1, 0)), flat, axis=1)
+        z = jnp.take(jnp.transpose(points_z, (1, 0)), flat, axis=1)
         dig = jnp.take_along_axis(digits, order, axis=1).reshape(-1)
         # digit-0 lanes contribute nothing: identity (z = 0)
         z = jnp.where((dig == 0)[None, :], jnp.zeros_like(z), z)
@@ -282,13 +283,13 @@ def _prologue_fn(c: int, W: int, base=Fq, scalar=Fr):
 def _final_flush_fn(W: int, B: int, spec=Fq):
     def f(x, y, z, dig, bx, by, bz):
         gslot = jnp.arange(W, dtype=jnp.uint32) * jnp.uint32(B) + dig
-        gx = jnp.transpose(jnp.take(bx, gslot, axis=0), (1, 0))
-        gy = jnp.transpose(jnp.take(by, gslot, axis=0), (1, 0))
-        gz = jnp.transpose(jnp.take(bz, gslot, axis=0), (1, 0))
+        gx = jnp.take(bx, gslot, axis=1)
+        gy = jnp.take(by, gslot, axis=1)
+        gz = jnp.take(bz, gslot, axis=1)
         rx, ry, rz = jac_add(spec, gx, gy, gz, x, y, z)
-        bx = bx.at[gslot].set(jnp.transpose(rx, (1, 0)))
-        by = by.at[gslot].set(jnp.transpose(ry, (1, 0)))
-        bz = bz.at[gslot].set(jnp.transpose(rz, (1, 0)))
+        bx = bx.at[:, gslot].set(rx)
+        by = by.at[:, gslot].set(ry)
+        bz = bz.at[:, gslot].set(rz)
         return bx, by, bz
 
     return jax.jit(f) if _on_accel() else f
@@ -304,7 +305,6 @@ def _bitplane_expand_fn(c: int, W: int, B: int, spec=Fq):
         keep = jnp.concatenate(
             [((v >> jnp.uint32(j)) & 1).astype(bool) for j in range(c)]
         )  # (c*W*B,)
-        bx, by, bz = (jnp.transpose(a, (1, 0)) for a in (bx, by, bz))
         xt = jnp.tile(bx, (1, c))
         yt = jnp.tile(by, (1, c))
         zt = jnp.tile(bz, (1, c))
@@ -533,9 +533,9 @@ def _device_partials(
         points_bm["x"], points_bm["y"], points_bm["z"], scalars_mont
     )
 
-    bx = jnp.zeros((W * B, L), jnp.uint32)
-    by = jnp.zeros((W * B, L), jnp.uint32)
-    bz = jnp.zeros((W * B, L), jnp.uint32)
+    bx = jnp.zeros((L, W * B), jnp.uint32)
+    by = jnp.zeros((L, W * B), jnp.uint32)
+    bz = jnp.zeros((L, W * B), jnp.uint32)
 
     m = n
     while m > 1:
@@ -573,9 +573,9 @@ def _finish_host(all_u, c: int, W: int, mod: int) -> Tuple[int, int, int]:
 
 
 # above this many points, one MSM is split into slices summed on the host:
-# the halving levels materialize (L, W*n) x 3 coords x in+out — ~10GB at
-# n=2^20 on a 16GB chip
-_MSM_SLICE = 1 << 19
+# the halving levels materialize (L, W*n) x 3 coords x in+out, which blows
+# past the 16G HBM somewhere above 2^18 points per slice
+_MSM_SLICE = 1 << 18
 
 
 def msm(
