@@ -75,15 +75,44 @@ def _layer_down_claim(evals: Sequence[int], mu: int, p: int) -> Tuple[List[int],
 
 
 @jax.jit
+def _layer_products(pl, pr, ql, qr):
+    """p' = p_l*q_r + p_r*q_l, q' = q_l*q_r over (b, m, L) stacks."""
+    spec = Fr
+    p_new = F.add(spec, F.mont_mul(spec, pl, qr), F.mont_mul(spec, pr, ql))
+    q_new = F.mont_mul(spec, ql, qr)
+    return p_new, q_new
+
+
+# b*m elements above this run the layer in column slices: the jnp mont_mul
+# materializes a (b*m, L, 2L) schoolbook intermediate (2K bytes per
+# element, x3 live products per layer step)
+_LAYER_SLICE_ELEMS = 1 << 19
+
+
 def _layer_up_stacked(pl, pr, ql, qr):
     """STACKED (b, m, L) layer step: one vectorized mul per product over the
     whole batch (the earlier per-pair unroll grew the module with b and ran
     replicated under a mesh). Fraction tree semantics:
-    p' = p_l*q_r + p_r*q_l, q' = q_l*q_r, then split on the high variable."""
-    spec = Fr
-    p_new = F.add(spec, F.mont_mul(spec, pl, qr), F.mont_mul(spec, pr, ql))
-    q_new = F.mont_mul(spec, ql, qr)
-    mid = p_new.shape[1] // 2
+    p' = p_l*q_r + p_r*q_l, q' = q_l*q_r, then split on the high variable
+    (the split is GLOBAL over m — slices only chunk the elementwise
+    products)."""
+    b, m = pl.shape[0], pl.shape[1]
+    if b * m <= _LAYER_SLICE_ELEMS:
+        p_new, q_new = _layer_products(pl, pr, ql, qr)
+    else:
+        step = max(128, _LAYER_SLICE_ELEMS // b)
+        parts = [
+            _layer_products(
+                pl[:, off : off + step],
+                pr[:, off : off + step],
+                ql[:, off : off + step],
+                qr[:, off : off + step],
+            )
+            for off in range(0, m, step)
+        ]
+        p_new = jnp.concatenate([pt[0] for pt in parts], axis=1)
+        q_new = jnp.concatenate([pt[1] for pt in parts], axis=1)
+    mid = m // 2
     return (
         p_new[:, :mid],
         p_new[:, mid:],
