@@ -5,6 +5,8 @@ over the grumpkin scalar field (bn254 Fq)."""
 import numpy as np
 import pytest
 
+from halo2_lasso_tpu.errors import Halo2LassoError
+
 import jax.numpy as jnp
 
 from halo2_lasso_tpu.ops import curves, ec, field as F, msm_affine
@@ -95,7 +97,7 @@ def test_ipa_grumpkin_roundtrip():
     tr2.read_commitment()
     pt2 = tr2.squeeze_challenges(num_vars)
     tr2.read_field_element()
-    with pytest.raises(Exception):
+    with pytest.raises(Halo2LassoError):
         MultilinearIpaGrumpkin.verify(vp, comm_r, pt2, (v_r + 1) % ORDER, tr2)
 
 
@@ -132,5 +134,5 @@ def test_hyrax_grumpkin_roundtrip():
     tr2.read_commitments(len(comm))
     pt2 = tr2.squeeze_challenges(num_vars)
     tr2.read_field_element()
-    with pytest.raises(Exception):
+    with pytest.raises(Halo2LassoError):
         MultilinearHyraxGrumpkin.verify(vp, comm_r, pt2, (v_r + 1) % ORDER, tr2)

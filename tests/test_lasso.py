@@ -6,6 +6,7 @@ import os
 import numpy as np
 import pytest
 
+from halo2_lasso_tpu.errors import Halo2LassoError
 from halo2_lasso_tpu.lasso import LassoError, build_witness, prove, verify
 from halo2_lasso_tpu.lasso.tables import and_table, lt_table, range_table, xor_table
 from halo2_lasso_tpu.ops.bn254 import FQ_MODULUS, Fr
@@ -86,7 +87,7 @@ def test_lasso_tampered_rejected():
     proof, vp, nv_m = run_lasso(table, indices)
     bad = bytearray(proof)
     bad[len(bad) // 3] ^= 1
-    with pytest.raises(Exception):
+    with pytest.raises(Halo2LassoError):
         verify(vp, table, nv_m, new_t(bytes(bad)))
 
 
@@ -139,7 +140,7 @@ def test_lasso_over_gemini():
     bad = bytearray(proof)
     bad[len(bad) // 3] ^= 1
     tr2 = new_t(bytes(bad))
-    with pytest.raises(Exception):
+    with pytest.raises(Halo2LassoError):
         verify(vp, table, nv_m, tr2, pcs=Gemini)
 
 

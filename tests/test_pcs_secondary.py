@@ -5,6 +5,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+from halo2_lasso_tpu.errors import Halo2LassoError
+
 from halo2_lasso_tpu.ops.bn254 import FQ_MODULUS, Fr
 from halo2_lasso_tpu.pcs import Evaluation
 from halo2_lasso_tpu.poly import multilinear as mle
@@ -59,7 +61,7 @@ def run_single(pcs_cls, setup_fn, num_vars):
     c2 = tr2.read_commitments(len(comm)) if isinstance(comm, list) else tr2.read_commitment()
     pt2 = tr2.squeeze_challenges(num_vars)
     tr2.read_field_element()
-    with pytest.raises(Exception):
+    with pytest.raises(Halo2LassoError):
         pcs_cls.verify(vp, c2, pt2, (v_r + 1) % P, tr2)
 
 
