@@ -99,6 +99,26 @@ def _lasso_table(circuit: str):
     }[circuit]()
 
 
+def _cached_kzg_setup(nv: int):
+    """SRS generation at 2^nv is minutes of fixed-base MSM on a cold cache;
+    persist it under target/srs so repeated bench invocations (and the
+    sweep's larger k) skip straight to the prove being measured."""
+    from halo2_lasso_tpu.pcs.multilinear_kzg import MultilinearKzg
+    from halo2_lasso_tpu.utils.serialize import load_kzg_params, save_kzg_params
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "target", "srs", f"kzg_nv{nv}"
+    )
+    try:
+        return load_kzg_params(path)
+    except (FileNotFoundError, OSError, KeyError, ValueError):
+        pass
+    param = MultilinearKzg.setup(1 << nv, np.random.RandomState(3))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    save_kzg_params(path, param)
+    return param
+
+
 def bench_lasso(circuit: str, k: int, samples: int) -> float:
     from halo2_lasso_tpu import lasso
     from halo2_lasso_tpu.backend.hyperplonk import new_transcript
@@ -109,7 +129,7 @@ def bench_lasso(circuit: str, k: int, samples: int) -> float:
     hi = min(table.index_bits, 62)
     indices = [int(v) for v in rng.randint(0, 1 << hi, size=1 << k, dtype=np.int64)]
     nv = max(k, table.memories[0].subtable.index_bits)
-    param = MultilinearKzg.setup(1 << nv, np.random.RandomState(3))
+    param = _cached_kzg_setup(nv)
     pp, _vp = MultilinearKzg.trim(param, 1 << nv)
 
     tw = new_transcript()
