@@ -193,11 +193,12 @@ def _recorded_csv_summary():
         except OSError:
             return None
 
-    for name, key in (("lasso_range", "lasso_recorded"), ("lasso_and", "lasso_and_recorded"), ("hyperplonk", "e2e_recorded"), ("arx_chain", "arx_recorded")):
+    for name, key in (("lasso_range", "lasso_recorded"), ("lasso_and", "lasso_and_recorded"), ("hyperplonk", "e2e_recorded"), ("arx_chain", "arx_recorded"), ("msm", "msm_recorded")):
         row = last_line(name)
         if row:
             k, ms = int(row[0]), float(row[1])
-            out[key] = {"k": k, "ms": round(ms, 1), "lookups_per_s" if name.startswith("lasso") else "constraints_per_s": round((1 << k) / (ms / 1e3), 1)}
+            rate = "points_per_s" if name == "msm" else ("lookups_per_s" if name.startswith("lasso") else "constraints_per_s")
+            out[key] = {"k": k, "ms": round(ms, 1), rate: round((1 << k) / (ms / 1e3), 1)}
     row = last_line("scaling")
     if row:
         out["scaling_recorded"] = {"devices": int(row[0]), "efficiency": float(row[2])} if len(row) >= 3 else None
