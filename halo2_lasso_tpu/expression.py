@@ -403,7 +403,15 @@ def split_challenge_terms(expr: Expression, p: int):
             out.append((coeff, e))
 
     go(expr, Expression.constant(1))
-    return [(c.simplified(p), t.simplified(p)) for c, t in out]
+    simplified = [(c.simplified(p), t.simplified(p)) for c, t in out]
+    # structurally-zero terms (e.g. the const-0 p-slot placeholders of the
+    # pure-grand-product GKR expression) contribute nothing to any message
+    return [
+        (c, t)
+        for c, t in simplified
+        if not (c.kind == "const" and c.args[0] % p == 0)
+        and not (t.kind == "const" and t.args[0] % p == 0)
+    ]
 
 
 def expression_to_obj(e: Expression):

@@ -220,21 +220,20 @@ def prove(
                 _fingerprint(addr_n, tvals, fc_polys[j], gamma, tau)
             )
 
-    zeros_m_dev = jnp.zeros((1 << nv_m, spec.num_limbs), dtype=jnp.uint32)
+    # ps=None: pure grand products (GKR skips the zero numerators entirely)
     with timed.scope("lasso_grand_products_m"):
         _, _, x_m, _ = gkr.prove_fractional_sum_check(
             [0] * (2 * alpha),
             [None] * (2 * alpha),
-            [zeros_m_dev] * (2 * alpha),
+            [None] * (2 * alpha),
             rs_polys + ws_polys,
             transcript,
         )
-    zeros_n_dev = jnp.zeros((1 << nv_n, spec.num_limbs), dtype=jnp.uint32)
     with timed.scope("lasso_grand_products_n"):
         _, _, x_n, _ = gkr.prove_fractional_sum_check(
             [0] * (2 * alpha),
             [None] * (2 * alpha),
-            [zeros_n_dev] * (2 * alpha),
+            [None] * (2 * alpha),
             init_polys + final_polys,
             transcript,
         )

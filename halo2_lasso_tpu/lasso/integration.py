@@ -410,9 +410,9 @@ def prove_memory_check(
                 _fingerprint_dev(spec, addr, val, F.add(spec, ts, one), gamma, tau)
             )
     nb = 2 * len(rs)
-    zeros_m = jnp.zeros((1 << num_vars, spec.num_limbs), dtype=jnp.uint32)
+    # ps=None: pure grand products (GKR skips the zero numerators entirely)
     _, _, x_m, _ = gkr.prove_fractional_sum_check(
-        [0] * nb, [None] * nb, [zeros_m] * nb, rs + ws, transcript
+        [0] * nb, [None] * nb, [None] * nb, rs + ws, transcript
     )
 
     x_ns: Dict[int, List[int]] = {}
@@ -430,7 +430,7 @@ def prove_memory_check(
             )
         nbn = 2 * len(members)
         _, _, x_n, _ = gkr.prove_fractional_sum_check(
-            [0] * nbn, [None] * nbn, [zeros_n] * nbn, inits + finals, transcript
+            [0] * nbn, [None] * nbn, [None] * nbn, inits + finals, transcript
         )
         x_ns[nv_n] = x_n
     return x_m, x_ns

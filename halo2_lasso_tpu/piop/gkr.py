@@ -33,14 +33,15 @@ class GkrError(Halo2LassoError):
     pass
 
 
-_expr_cache: Dict[int, Expression] = {}
+_expr_cache: Dict[Tuple[int, bool], Expression] = {}
 
 
 def sum_check_expression(num_batching: int) -> Expression:
     """distribute_powers([p_l q_r + p_r q_l, q_l q_r]_i, gamma) * eq
     (fractional_sum_check.rs:272-283)."""
-    if num_batching in _expr_cache:
-        return _expr_cache[num_batching]
+    key = (num_batching, False)
+    if key in _expr_cache:
+        return _expr_cache[key]
     exprs = []
     for i in range(num_batching):
         p_l = Expression.poly(4 * i)
@@ -50,7 +51,26 @@ def sum_check_expression(num_batching: int) -> Expression:
         exprs.append(p_l * q_r + p_r * q_l)
         exprs.append(q_l * q_r)
     e = Expression.distribute_powers(exprs, Expression.challenge(0)) * Expression.eq_xy(0)
-    _expr_cache[num_batching] = e
+    _expr_cache[key] = e
+    return e
+
+
+def sum_check_expression_pure(num_batching: int) -> Expression:
+    """PURE-GRAND-PRODUCT round expression: every p is identically zero
+    (memory-check usage), so the p-side terms of the batched message are
+    structurally 0 and only q_l*q_r survives. The const-0 placeholders keep
+    the gamma-power alignment of the full expression, so round messages —
+    and therefore proof bytes — are identical to running the full circuit
+    on zero ps, at a third of the multiplications."""
+    key = (num_batching, True)
+    if key in _expr_cache:
+        return _expr_cache[key]
+    exprs = []
+    for i in range(num_batching):
+        exprs.append(Expression.constant(0))  # p-slot: gamma^{2i}
+        exprs.append(Expression.poly(2 * i) * Expression.poly(2 * i + 1))
+    e = Expression.distribute_powers(exprs, Expression.challenge(0)) * Expression.eq_xy(0)
+    _expr_cache[key] = e
     return e
 
 
@@ -121,6 +141,29 @@ def _layer_up_stacked(pl, pr, ql, qr):
     )
 
 
+@jax.jit
+def _layer_products_q(ql, qr):
+    return F.mont_mul(Fr, ql, qr)
+
+
+def _layer_up_stacked_q(ql, qr):
+    """Pure-product layer step: q' = q_l*q_r only (see _layer_up_stacked)."""
+    b, m = ql.shape[0], ql.shape[1]
+    if b * m <= _LAYER_SLICE_ELEMS:
+        q_new = _layer_products_q(ql, qr)
+    else:
+        step = max(128, _LAYER_SLICE_ELEMS // b)
+        q_new = jnp.concatenate(
+            [
+                _layer_products_q(ql[:, off : off + step], qr[:, off : off + step])
+                for off in range(0, m, step)
+            ],
+            axis=1,
+        )
+    mid = m // 2
+    return q_new[:, :mid], q_new[:, mid:]
+
+
 def _place_sharded(a: jnp.ndarray) -> jnp.ndarray:
     """Shard a stacked (b, m, L) layer over the active mesh's data axis
     (axis 1); XLA GSPMD inserts the halving collectives at the splits."""
@@ -140,42 +183,116 @@ def prove_fractional_sum_check(
     transcript: Keccak256Transcript,
 ) -> Tuple[List[int], List[int], List[int]]:
     """fractional_sum_check.rs:89-190. ps/qs: device (2^n, L) arrays.
-    Returns (p evals at x, q evals at x, x)."""
+    Returns (p evals at x, q evals at x, x).
+
+    PURE-PRODUCT mode: a caller whose numerators are identically zero (the
+    Lasso memory check's grand products) passes `None` for every entry of
+    `ps`. The prover then skips every p-side multiplication — layer build
+    and round messages — while emitting byte-identical transcripts (zero
+    terms contribute nothing to any message; the p evals written per layer
+    are literal zeros)."""
     spec = Fr
     p = spec.modulus
     num_batching = len(ps)
     assert num_batching and len(qs) == num_batching == len(claimed_p_0s) == len(claimed_q_0s)
-    num_vars = ps[0].shape[0].bit_length() - 1
+    pure = all(x is None for x in ps)
+    assert pure or all(x is not None for x in ps), "mixed zero/nonzero ps unsupported"
+    num_vars = qs[0].shape[0].bit_length() - 1
 
     # bottom layer: stack the batch, split on the highest variable; build
     # upward with ONE vectorized module per level, sharded over the active
-    # mesh's data axis when large enough
-    ps_st = _place_sharded(jnp.stack(ps))  # (b, 2^n, L)
-    qs_st = _place_sharded(jnp.stack(qs))
-    mid = ps_st.shape[1] // 2
-    stacked = (
-        ps_st[:, :mid],
-        ps_st[:, mid:],
-        qs_st[:, :mid],
-        qs_st[:, mid:],
-    )
-    layers_st = [stacked]
-    while layers_st[-1][0].shape[1] > 1:
-        layers_st.append(_layer_up_stacked(*layers_st[-1]))
+    # mesh's data axis when large enough. Layers at/below the host-tail
+    # threshold are pulled ONCE and built with the C field kernels — their
+    # per-layer sumchecks then run with zero device round-trips (the Lasso
+    # prover's former latency floor: ~16 tunnel-RTT-bound layer sumchecks
+    # per grand-product batch at nv=16).
+    from halo2_lasso_tpu.ops import host_field
+    from halo2_lasso_tpu.parallel import sharding as shd
 
-    # flat [p_l, p_r, q_l, q_r] * b views for the per-layer sumchecks
+    host_m = 0
+    if host_field.available(spec):
+        host_m = sum_check.host_tail_size((2 if pure else 4) * num_batching)
+        mesh = shd.active_mesh()
+        if mesh is not None:
+            # keep layers large enough to shard on device so the collective
+            # path stays exercised; only replicated-tail layers go host
+            host_m = min(host_m, 2 * mesh.size - 1)
+
+    nq = 2 if pure else 4  # quadrants per batch element in the flat views
+    qs_st = _place_sharded(jnp.stack(qs))
+    mid = qs_st.shape[1] // 2
+    if pure:
+        stacked = (qs_st[:, :mid], qs_st[:, mid:])
+    else:
+        ps_st = _place_sharded(jnp.stack(ps))  # (b, 2^n, L)
+        stacked = (
+            ps_st[:, :mid],
+            ps_st[:, mid:],
+            qs_st[:, :mid],
+            qs_st[:, mid:],
+        )
+    layers_st = [stacked]
+    while layers_st[-1][0].shape[1] > max(1, host_m):
+        nxt_st = (
+            _layer_up_stacked_q(*layers_st[-1])
+            if pure
+            else _layer_up_stacked(*layers_st[-1])
+        )
+        layers_st.append(nxt_st)
+
+    # flat quadrant views for the per-layer sumchecks:
+    # [p_l, p_r, q_l, q_r]*b, or [q_l, q_r]*b in pure mode
     layers = [
-        [st[j][i] for i in range(num_batching) for j in range(4)]
+        [st[j][i] for i in range(num_batching) for j in range(nq)]
         for st in layers_st
     ]
+
+    if host_m:
+        from halo2_lasso_tpu.ops.host_field import HVec
+
+        hctx = host_field.ctx_for(spec)
+        # one pull of the first host-sized layer, then pure host building
+        last = layers_st.pop()
+        layers.pop()
+        raw = np.asarray(jnp.stack(last))  # (nq, b, m, L)
+        packed = hctx.pack_u32(raw)
+        cur = [
+            [HVec(hctx, packed[j][i]) for j in range(nq)]
+            for i in range(num_batching)
+        ]
+        while True:
+            layers.append(
+                [cur[i][j] for i in range(num_batching) for j in range(nq)]
+            )
+            m = cur[0][0].n
+            if m == 1:
+                break
+            nxt = []
+            for i in range(num_batching):
+                mid2 = m // 2
+                if pure:
+                    ql, qr = cur[i]
+                    qn = ql * qr
+                    nxt.append([qn[:mid2], qn[mid2:]])
+                else:
+                    pl, pr, ql, qr = cur[i]
+                    pn, qn = hctx.gkr_layer(pl, pr, ql, qr)
+                    nxt.append([pn[:mid2], pn[mid2:], qn[:mid2], qn[mid2:]])
+            cur = nxt
 
     # top-layer claims
     top = layers[-1]
     p_0s, q_0s = [], []
     for i in range(num_batching):
-        p_l, p_r, q_l, q_r = [
-            F.decode_scalar(spec, top[4 * i + j][0]) for j in range(4)
-        ]
+        if host_m:
+            vals = [top[nq * i + j].to_int(0) for j in range(nq)]
+        else:
+            vals = [F.decode_scalar(spec, top[nq * i + j][0]) for j in range(nq)]
+        if pure:
+            q_l, q_r = vals
+            p_l = p_r = 0
+        else:
+            p_l, p_r, q_l, q_r = vals
         p_0s.append((p_l * q_r + p_r * q_l) % p)
         q_0s.append(q_l * q_r % p)
     for claimed, computed in ((claimed_p_0s, p_0s), (claimed_q_0s, q_0s)):
@@ -185,21 +302,39 @@ def prove_fractional_sum_check(
             else:
                 transcript.write_field_element(co)
 
-    expression = sum_check_expression(num_batching)
+    expression = (
+        sum_check_expression_pure(num_batching)
+        if pure
+        else sum_check_expression(num_batching)
+    )
 
     top_claims = (list(p_0s), list(q_0s))
     claimed_p_ys, claimed_q_ys = p_0s, q_0s
     y: List[int] = []
     for layer in reversed(layers):
-        nv = layer[0].shape[0].bit_length() - 1
+        from halo2_lasso_tpu.ops.host_field import HVec
+
+        is_host = isinstance(layer[0], HVec)
+        nv = (len(layer[0]) if is_host else layer[0].shape[0]).bit_length() - 1
         if nv == 0:
             x = []
-            evals = [F.decode_scalar(spec, arr[0]) for arr in layer]
+            evals = [
+                arr.to_int(0) if is_host else F.decode_scalar(spec, arr[0])
+                for arr in layer
+            ]
         else:
             gamma = transcript.squeeze_challenge()
             claim = _sum_check_claim(claimed_p_ys, claimed_q_ys, gamma, p)
             vp = sum_check.VirtualPolynomial(expression, layer, [gamma], [y])
             x, evals = sum_check.prove(spec, nv, vp, claim, transcript)
+        if pure:
+            # interleave the structurally-zero p evals back into the wire
+            # layout [p_l, p_r, q_l, q_r]*b — byte parity with full mode
+            evals = [
+                v
+                for i in range(num_batching)
+                for v in (0, 0, evals[2 * i], evals[2 * i + 1])
+            ]
         transcript.write_field_elements(evals)
         mu = transcript.squeeze_challenge()
         claimed_p_ys, claimed_q_ys = _layer_down_claim(evals, mu, p)
@@ -213,7 +348,10 @@ def prove_fractional_sum_check(
         from halo2_lasso_tpu.poly import multilinear as mle
 
         y_dev = jnp.asarray(spec.encode(list(y)))
-        for arrs, claims in ((ps, claimed_p_ys), (qs, claimed_q_ys)):
+        pairs = [(qs, claimed_q_ys)] if pure else [(ps, claimed_p_ys), (qs, claimed_q_ys)]
+        if pure:
+            assert all(cl == 0 for cl in claimed_p_ys)
+        for arrs, claims in pairs:
             for arr, cl in zip(arrs, claims):
                 got = F.decode_scalar(spec, mle.evaluate(spec, arr, y_dev))
                 assert got == cl, "gkr final claim does not match input MLE"

@@ -252,12 +252,63 @@ def _make_chunk_fn(spec: FieldSpec, terms: Sequence[Expression], degree: int):
     return jax.jit(chunk_fn)
 
 
+def host_tail_size(num_arrays: int = 5) -> int:
+    """Hypercube size at/below which sumcheck rounds run on the host.
+
+    The tail trades device round-trips (~25ms each through the TPU tunnel)
+    against ONE stacked pull whose cost is bandwidth-bound (~25ms/MB
+    measured): pulled bytes = num_arrays * size * 64. With the C field
+    kernels (ops/host_field.py, ~25M muls/s) host compute is noise, so the
+    threshold is set by a pull-size budget; the numpy object-int fallback
+    (~2M muls/s) keeps the fixed round-2 threshold."""
+    env = os.environ.get("HALO2_LASSO_TPU_HOST_TAIL")
+    if env is not None:
+        return int(env)
+    from halo2_lasso_tpu.ops import host_field
+
+    if not host_field.available():
+        return 1024
+    budget = int(os.environ.get("HALO2_LASSO_TPU_HOST_TAIL_MB", "4")) << 20
+    size = budget // (max(1, num_arrays) * 64)
+    size = 1 << (size.bit_length() - 1)  # pow2 floor
+    return max(1024, min(16384, size))
+
+
 def _host_tail_pull(spec: FieldSpec, arrays: Dict):
-    """ONE stacked device->host pull of every leaf table (object ints)."""
+    """ONE stacked device->host pull of every leaf table.
+
+    With the C backend the pull is a vectorized repack into packed-Montgomery
+    HVecs (no per-element bigint decode loop); fallback is object ints."""
+    from halo2_lasso_tpu.ops import host_field
+
     hkeys = sorted(arrays.keys())
     stacked = jnp.stack([arrays[k] for k in hkeys])
-    flat = spec.decode(np.asarray(stacked))  # (K, size) object
+    raw = np.asarray(stacked)
+    if host_field.available(spec):
+        ctx = host_field.ctx_for(spec)
+        return {k: ctx.from_dev(raw[i]) for i, k in enumerate(hkeys)}
+    flat = spec.decode(raw)  # (K, size) object
     return {k: flat[i] for i, k in enumerate(hkeys)}
+
+
+def _host_fold(v, r: int, p: int):
+    """fix_var on a host tail array (HVec or object ints)."""
+    from halo2_lasso_tpu.ops.host_field import HVec
+
+    if isinstance(v, HVec):
+        return v.fold_pairs(r)
+    return (v[0::2] + (v[1::2] - v[0::2]) * r) % p
+
+
+def _host_sum(v, half: int, p: int) -> int:
+    """Column sum of an evaluate_host result (HVec / object array / scalar)."""
+    from halo2_lasso_tpu.ops.host_field import HVec
+
+    if isinstance(v, HVec):
+        return v.sum_int()
+    if np.ndim(v) == 0:
+        return int(v) * half % p
+    return int(np.sum(v)) % p
 
 
 def _host_round_msg(
@@ -273,7 +324,7 @@ def _host_round_msg(
 
     lo = {k: v[0::2] for k, v in host_arrays.items()}
     e1 = {k: v[1::2] for k, v in host_arrays.items()}
-    half = next(iter(e1.values())).shape[0] if e1 else 1
+    half = len(next(iter(e1.values()))) if e1 else 1
     step = {k: e1[k] - lo[k] for k in e1}
 
     def leaf_builder(values):
@@ -298,11 +349,7 @@ def _host_round_msg(
         total = 0
         for i, (_, term) in enumerate(coeff_terms):
             v = evaluate_host(term, p, leaf_builder(values), challenges)
-            if np.ndim(v) == 0:
-                s = int(v) * half
-            else:
-                s = int(np.sum(v))
-            total += coeff_vals[i] * s
+            total += coeff_vals[i] * _host_sum(v, half, p)
         msg_tail.append(total % p)
     return msg_tail
 
@@ -359,6 +406,74 @@ def _sharded_round(
     return [v % p for v in msg_tail]
 
 
+def _prove_host(
+    spec: FieldSpec,
+    num_vars: int,
+    virtual_poly: VirtualPolynomial,
+    sum_: int,
+    transcript: Keccak256Transcript,
+) -> Tuple[List[int], List[int]]:
+    """Fully-host sumcheck over packed-Montgomery HVec polys (C kernels).
+
+    Used for small instances whose data already lives on the host — most
+    importantly the GKR layer tree's upper layers, whose per-layer device
+    sumchecks were pure tunnel RTT. Proof bytes identical to the device
+    path. Rotated queries are unsupported (no caller needs them here)."""
+    from halo2_lasso_tpu.expression import evaluate_host, split_challenge_terms
+    from halo2_lasso_tpu.ops import host_field
+    from halo2_lasso_tpu.ops.host_field import HVec
+
+    expression = virtual_poly.expression
+    degree = expression.degree
+    p = spec.modulus
+    ctx = host_field.ctx_for(spec)
+    bh = BooleanHypercube(num_vars)
+    keys = _leaf_keys(expression, len(virtual_poly.polys))
+    host_arrays: Dict[Tuple, HVec] = {}
+    for key in keys:
+        if key[0] == "poly":
+            _, i, rot = key
+            if rot != 0:
+                raise SumcheckError("host-input sumcheck does not support rotations")
+            host_arrays[key] = virtual_poly.polys[i]
+        elif key[0] == "eq":
+            host_arrays[key] = ctx.eq_expand(virtual_poly.ys[key[1]])
+        elif key[0] == "identity":
+            host_arrays[key] = ctx.from_ints(list(range(1 << num_vars)))
+        elif key[0] == "lagrange":
+            b = int(bh.iter_indices()[key[1] % (1 << num_vars)])
+            arr = np.zeros((1 << num_vars, 4), dtype=np.uint64)
+            arr[b] = ctx.one4
+            host_arrays[key] = HVec(ctx, arr)
+        else:
+            raise ValueError(key)
+
+    coeff_terms = split_challenge_terms(expression, p)
+    coeff_vals = [
+        evaluate_host(c, p, _challenge_only_leaf, virtual_poly.challenges)
+        for c, _ in coeff_terms
+    ]
+    challenges: List[int] = []
+    current_sum = sum_ % p
+    points = list(range(degree + 1))
+    weights = barycentric_weights(p, points)
+    for _ in range(num_vars):
+        msg_tail = _host_round_msg(
+            p, coeff_terms, coeff_vals, host_arrays,
+            list(virtual_poly.challenges), degree,
+        )
+        evals = [(current_sum - msg_tail[0]) % p] + msg_tail
+        transcript.write_field_elements(evals)
+        r = transcript.squeeze_challenge()
+        challenges.append(r)
+        current_sum = barycentric_interpolate(p, weights, points, evals, r)
+        host_arrays = {k: _host_fold(v, r, p) for k, v in host_arrays.items()}
+    return challenges, [
+        host_arrays[("poly", i, 0)].to_int(0)
+        for i in range(len(virtual_poly.polys))
+    ]
+
+
 def _make_fold_fn(spec: FieldSpec):
     def fold_fn(arrays: Dict, challenge: jnp.ndarray):
         return {k: mle.fix_var(spec, v, challenge) for k, v in arrays.items()}
@@ -383,6 +498,16 @@ def prove(
     p = spec.modulus
     assert num_vars > 0 and expression.max_used_rotation_distance() <= num_vars
     bh = BooleanHypercube(num_vars)
+
+    from halo2_lasso_tpu.ops.host_field import HVec
+
+    # HOST-INPUT mode: polys already live on the host as packed-Montgomery
+    # HVecs (e.g. the GKR layer tree's small layers) — build every leaf on
+    # host and run the whole sumcheck with ZERO device interaction.
+    # Identical proof bytes to the device path.
+    host_input = bool(virtual_poly.polys) and isinstance(virtual_poly.polys[0], HVec)
+    if host_input:
+        return _prove_host(spec, num_vars, virtual_poly, sum_, transcript)
 
     # ---- build leaf arrays ----
     keys = _leaf_keys(expression, len(virtual_poly.polys))
@@ -469,9 +594,10 @@ def prove(
         chal_stack = shd.replicate(mesh, chal_stack)
         sharded_now = True
 
-    # below this size the remaining rounds run on HOST bigints: one stacked
-    # pull, zero further device round-trips (matching proof bytes exactly)
-    HOST_TAIL = int(os.environ.get("HALO2_LASSO_TPU_HOST_TAIL", "1024"))
+    # below this size the remaining rounds run on HOST (C field kernels or
+    # object-int fallback): one stacked pull, zero further device
+    # round-trips (matching proof bytes exactly)
+    HOST_TAIL = host_tail_size(len(arrays))
     host_arrays = None
 
     for rnd in range(num_vars):
@@ -566,10 +692,7 @@ def prove(
         current_sum = barycentric_interpolate(p, weights, points, evals, r)
 
         if host_arrays is not None:
-            host_arrays = {
-                k: (v[0::2] + (v[1::2] - v[0::2]) * r) % p
-                for k, v in host_arrays.items()
-            }
+            host_arrays = {k: _host_fold(v, r, p) for k, v in host_arrays.items()}
             continue
         r_dev = jnp.asarray(spec.encode([r]))[0]
         if sharded_now:
@@ -592,9 +715,14 @@ def prove(
             arrays = fold_fn(arrays, r_dev)
 
     if host_arrays is not None:
+        from halo2_lasso_tpu.ops.host_field import HVec
+
         return challenges, [
-            int(host_arrays[("poly", i, 0)][0]) % p
-            for i in range(len(virtual_poly.polys))
+            v.to_int(0) if isinstance(v, HVec) else int(v[0]) % p
+            for v in (
+                host_arrays[("poly", i, 0)]
+                for i in range(len(virtual_poly.polys))
+            )
         ]
 
     if lf_tables is not None:
@@ -686,12 +814,14 @@ def prove_coeff_products(
 
     challenges: List[int] = []
     current_sum = sum_ % p
-    # host-bigint tail (same rationale as the EvaluationsProver host tail:
-    # small rounds are pure tunnel-RTT; one stacked pull, zero further
-    # device round-trips, identical proof bytes)
-    HOST_TAIL = int(os.environ.get("HALO2_LASSO_TPU_HOST_TAIL", "1024"))
-    host_eqs = host_polys = None
+    # host tail (same rationale as the EvaluationsProver host tail: small
+    # rounds are pure tunnel-RTT; one stacked pull, zero further device
+    # round-trips, identical proof bytes). C kernels when available.
     T = eqs.shape[0]
+    HOST_TAIL = host_tail_size(2 * T)
+    host_eqs = host_polys = None
+    from halo2_lasso_tpu.ops import host_field
+    from halo2_lasso_tpu.ops.host_field import HVec
 
     for rnd in range(num_vars):
         size = 1 << (num_vars - rnd)
@@ -700,9 +830,23 @@ def prove_coeff_products(
             polys = shd.replicate(mesh, polys)
             sharded_now = False
         if host_eqs is None and not sharded_now and size <= HOST_TAIL:
-            both = spec.decode(np.asarray(jnp.concatenate([eqs, polys])))
-            host_eqs, host_polys = both[:T], both[T:]
-        if host_eqs is not None:
+            raw = np.asarray(jnp.concatenate([eqs, polys]))
+            if host_field.available(spec):
+                ctx = host_field.ctx_for(spec)
+                packed = ctx.pack_u32(raw)  # (2T, n, 4)
+                host_eqs = [HVec(ctx, packed[j]) for j in range(T)]
+                host_polys = [HVec(ctx, packed[T + j]) for j in range(T)]
+            else:
+                both = spec.decode(raw)
+                host_eqs, host_polys = both[:T], both[T:]
+        if host_eqs is not None and isinstance(host_eqs, list):
+            c0l, c2l = [], []
+            for j in range(T):
+                e0, e1 = host_eqs[j][0::2], host_eqs[j][1::2]
+                p0, p1 = host_polys[j][0::2], host_polys[j][1::2]
+                c0l.append(e0.dot_int(p0))
+                c2l.append(e0.dot_diff_int(e1, p0, p1))
+        elif host_eqs is not None:
             e0h, e1h = host_eqs[:, 0::2], host_eqs[:, 1::2]
             p0h, p1h = host_polys[:, 0::2], host_polys[:, 1::2]
             c0l = [int(np.sum(e0h[j] * p0h[j]) % p) for j in range(T)]
@@ -737,6 +881,10 @@ def prove_coeff_products(
         challenges.append(r)
         current_sum = (c0 + c1 * r + c2 * r * r) % p
 
+        if host_eqs is not None and isinstance(host_eqs, list):
+            host_eqs = [v.fold_pairs(r) for v in host_eqs]
+            host_polys = [v.fold_pairs(r) for v in host_polys]
+            continue
         if host_eqs is not None:
             host_eqs = (host_eqs[:, 0::2] + (host_eqs[:, 1::2] - host_eqs[:, 0::2]) * r) % p
             host_polys = (
@@ -761,6 +909,10 @@ def prove_coeff_products(
             eqs = ffn(eqs, r_dev)
             polys = ffn(polys, r_dev)
 
+    if host_polys is not None and isinstance(host_polys, list):
+        return challenges, [
+            jnp.asarray(host_polys[j][0:1].to_dev_limbs()) for j in range(T)
+        ]
     if host_polys is not None:
         return challenges, [
             jnp.asarray(spec.encode([int(host_polys[j][0]) % p]))
