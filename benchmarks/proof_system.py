@@ -110,12 +110,28 @@ def _cached_kzg_setup(nv: int):
         os.path.dirname(os.path.abspath(__file__)), "..", "target", "srs", f"kzg_nv{nv}"
     )
     try:
-        return load_kzg_params(path)
-    except (FileNotFoundError, OSError, KeyError, ValueError):
+        params = load_kzg_params(path)
+        if params.__class__.__name__ != "KzgParams":
+            raise ValueError("unexpected params kind")
+        return params
+    except FileNotFoundError:
         pass
+    except Exception:
+        # a truncated npz from a crash mid-save raises zipfile.BadZipFile
+        # (and friends) — drop the corrupt cache and regenerate
+        for ext in (".npz", ".json"):
+            try:
+                os.remove(path + ext)
+            except OSError:
+                pass
     param = MultilinearKzg.setup(1 << nv, np.random.RandomState(3))
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    save_kzg_params(path, param)
+    # atomic publish: write to temp names, then rename (readers never see a
+    # half-written cache)
+    tmp = path + ".tmp"
+    save_kzg_params(tmp, param)
+    os.replace(tmp + ".npz", path + ".npz")
+    os.replace(tmp + ".json", path + ".json")
     return param
 
 

@@ -46,7 +46,8 @@ def load_kzg_params(path: str) -> KzgParams:
     data = np.load(path + ".npz")
     with open(path + ".json") as f:
         meta = json.load(f)
-    assert meta["kind"] == "multilinear_kzg"
+    if meta.get("kind") != "multilinear_kzg":  # not assert: survives python -O
+        raise ValueError(f"params at {path} are {meta.get('kind')!r}, not multilinear_kzg")
     eqs = []
     for j in range(meta["num_tables"]):
         eqs.append(

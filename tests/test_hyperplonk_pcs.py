@@ -54,13 +54,13 @@ def run_backend(backend, num_vars, circuit_fn):
 @pytest.mark.parametrize("pcs", PCS_CLASSES, ids=lambda c: c.__name__)
 def test_vanilla_plonk(pcs):
     # reference exercises each PCS to nv=16 (hyperplonk.rs:398-427);
-    # nv=6 default here, nv=10 for the KZG-family below
-    run_backend(hyperplonk(pcs), 6, rand_vanilla_plonk_circuit)
+    # nv=8 default here, nv=12 for the KZG-family below
+    run_backend(hyperplonk(pcs), 8, rand_vanilla_plonk_circuit)
 
 
 @pytest.mark.parametrize("pcs", PCS_CLASSES, ids=lambda c: c.__name__)
 def test_vanilla_plonk_with_lookup(pcs):
-    run_backend(hyperplonk(pcs), 6, rand_vanilla_plonk_with_lookup_circuit)
+    run_backend(hyperplonk(pcs), 8, rand_vanilla_plonk_with_lookup_circuit)
 
 
 @pytest.mark.parametrize("pcs", [Gemini, MultilinearIpa], ids=lambda c: c.__name__)
@@ -75,7 +75,7 @@ def test_tampered_proof_rejected(pcs):
 
 
 @pytest.mark.parametrize("pcs", [Gemini, Zeromorph], ids=lambda c: c.__name__)
-def test_vanilla_plonk_nv10(pcs):
+def test_vanilla_plonk_nv12(pcs):
     # non-toy size in the default suite (reference sweeps to 16,
-    # hyperplonk.rs:398-427); KZG at nv=10 is covered by test_hyperplonk.py
-    run_backend(hyperplonk(pcs), 10, rand_vanilla_plonk_circuit)
+    # hyperplonk.rs:398-427); KZG at nv=10+ is covered by test_hyperplonk.py
+    run_backend(hyperplonk(pcs), 12, rand_vanilla_plonk_circuit)
