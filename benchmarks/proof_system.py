@@ -146,10 +146,12 @@ def bench_lasso(circuit: str, k: int, samples: int) -> float:
     indices = [int(v) for v in rng.randint(0, 1 << hi, size=1 << k, dtype=np.int64)]
     nv = max(k, table.memories[0].subtable.index_bits)
     param = _cached_kzg_setup(nv)
-    pp, _vp = MultilinearKzg.trim(param, 1 << nv)
+    pp, vp = MultilinearKzg.trim(param, 1 << nv)
 
     tw = new_transcript()
     lasso.prove(pp, table, indices, tw)  # warm-up
+    # the recorded number is only evidence if the proof is sound
+    lasso.verify(vp, table, k, new_transcript(tw.into_proof()))
 
     t0 = time.perf_counter()
     for _ in range(samples):

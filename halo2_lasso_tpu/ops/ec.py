@@ -27,7 +27,8 @@ vs ~16N for serial Pippenger, traded for full lane parallelism.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+import os
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -565,28 +566,13 @@ def msm_list_to_affine_int(
 
     from halo2_lasso_tpu.ops import msm_jacobian as MJ
 
-    results: List = [None] * len(jobs)
-    large_parts, large_idx = [], []
+    large_jobs = []  # (idx, points, scal, n)
     small_pts, small_idx = [], []
-    cw = None
     for idx, (points, scal) in enumerate(jobs):
         points, scal = _pad_msm_inputs(points, scal, spec=base)
         n = scal.shape[0]
         if n > SMALL_MSM_MAX:
-            # big jobs run in bounded slices (MJ._MSM_SLICE) summed on the
-            # host — one unsliced 2^19+ level module alone exceeds HBM
-            positions = []
-            for off in range(0, n, MJ._MSM_SLICE):
-                tcat, c, W = MJ._device_partials(
-                    {k: v[off : off + MJ._MSM_SLICE] for k, v in points.items()},
-                    scal[off : off + MJ._MSM_SLICE],
-                    base,
-                    scalar,
-                )
-                positions.append(len(large_parts))
-                large_parts.append(tcat)
-            large_idx.append((idx, positions))
-            cw = (c, W)
+            large_jobs.append((idx, points, scal, n))
         else:
             sc = F.from_mont(scalar, scal)
             res = _msm_small(points, sc[None], base, scalar.num_bits)
@@ -595,19 +581,78 @@ def msm_list_to_affine_int(
             )
             small_idx.append(idx)
 
+    # group mixed-size large jobs into SEGMENTED pipelines (each group padded
+    # to its largest member and run as S*W windows of one device pipeline,
+    # MJ._device_partials_seg): the KZG quotient open emits one MSM per
+    # variable (16 sizes at nv=16) and per-pipeline fixed cost — not point
+    # count — dominated the prover's open phase (measured 3.25s/open with
+    # one pipeline per size). Lane budget caps group HBM; jobs too big to
+    # group fall back to the sliced single-MSM path.
+    LANE_BUDGET = int(os.environ.get("HALO2_LASSO_TPU_MSM_GROUP_LANES", str(4 << 20)))
+    large_jobs.sort(key=lambda t: -t[3])
+    seg_groups: List[List] = []
+    singles: List = []
+    for job in large_jobs:
+        n = job[3]
+        w_est = -(-scalar.num_bits // 10)
+        if n > MJ._MSM_SLICE or w_est * n > LANE_BUDGET:
+            singles.append(job)
+            continue
+        placed = False
+        for g in seg_groups:
+            n_pad = g[0][3]  # groups sorted: first member is the largest
+            if w_est * n_pad * (len(g) + 1) <= LANE_BUDGET:
+                g.append(job)
+                placed = True
+                break
+        if not placed:
+            seg_groups.append([job])
+    # a 1-element "group" is just the plain pipeline
+    singles.extend(g[0] for g in seg_groups if len(g) == 1)
+    seg_groups = [g for g in seg_groups if len(g) > 1]
+
+    parts = []  # (kind, payload, meta)
+    for g in seg_groups:
+        n_pad = g[0][3]
+        tcat, c, W = MJ._device_partials_seg(
+            [(p, s) for _, p, s, _ in g], base, scalar, n_pad
+        )
+        parts.append(("seg", tcat, (c, W, [idx for idx, *_ in g])))
+    for idx, points, scal, n in singles:
+        positions = []
+        for off in range(0, n, MJ._MSM_SLICE):
+            tcat, c, W = MJ._device_partials(
+                {k: v[off : off + MJ._MSM_SLICE] for k, v in points.items()},
+                scal[off : off + MJ._MSM_SLICE],
+                base,
+                scalar,
+            )
+            parts.append(("single_part", tcat, None))
+            positions.append(len(parts) - 1)
+        parts[positions[0]] = ("single", parts[positions[0]][1], (c, W, idx, positions))
+
     totals: List = [None] * len(jobs)
-    if large_parts:
-        stacked = np.asarray(jnp.stack(large_parts))  # one pull
-        for idx, positions in large_idx:
-            total = (0, 0, 0)
-            for pos in positions:
-                all_u = base.decode(stacked[pos].T)
-                total = MJ._host_jac_add(
-                    total,
-                    MJ._finish_host(all_u, cw[0], cw[1], base.modulus),
-                    base.modulus,
-                )
-            totals[idx] = total
+    if parts:
+        # pull every pipeline's partials (shapes differ across groups)
+        raws = [np.asarray(t) for _, t, _ in parts]  # device->host
+        for pos, (kind, _, meta) in enumerate(parts):
+            if kind == "seg":
+                c, W, idxs = meta
+                all_u = base.decode(raws[pos].T)
+                segs = MJ._finish_host_segments(all_u, c, W, len(idxs), base.modulus)
+                for idx, t in zip(idxs, segs):
+                    totals[idx] = t
+            elif kind == "single":
+                c, W, idx, positions = meta
+                total = (0, 0, 0)
+                for ppos in positions:
+                    all_u = base.decode(raws[ppos].T)
+                    total = MJ._host_jac_add(
+                        total,
+                        MJ._finish_host(all_u, c, W, base.modulus),
+                        base.modulus,
+                    )
+                totals[idx] = total
     if small_pts:
         L = base.num_limbs
         raw = np.asarray(jnp.stack(small_pts))  # one pull, (S, 3L)

@@ -553,6 +553,116 @@ def _device_partials(
     return jnp.concatenate([tx, ty, tz], axis=1), c, W
 
 
+@functools.lru_cache(maxsize=None)
+def _prologue_seg_fn(c: int, W: int, S: int, n_pad: int, base=Fq, scalar=Fr):
+    """Segmented prologue: S independent MSMs (each padded to n_pad points,
+    zero scalars on the pad) laid out as S*W Pippenger windows of ONE
+    pipeline. Points arrive concatenated (S*n_pad,); window row s*W+w holds
+    segment s's digits for window w, sorted desc + bit-reversed exactly
+    like the single-MSM prologue."""
+    from halo2_lasso_tpu.ops import field as F
+
+    def f(points_x, points_y, points_z, scalars_mont):
+        from halo2_lasso_tpu.ops.pallas_field import _bitrev_indices
+
+        scal = F.from_mont(scalar, scalars_mont)
+        digits = _digits_all(scal, c, W)  # (W, S*n_pad)
+        d = jnp.transpose(digits.reshape(W, S, n_pad), (1, 0, 2)).reshape(
+            S * W, n_pad
+        )
+        order = jnp.argsort(-d.astype(jnp.int32), axis=1)  # desc per row
+        br = jnp.asarray(_bitrev_indices(n_pad.bit_length() - 1))
+        order = jnp.take(order, br, axis=1)
+        seg_off = (
+            (jnp.arange(S * W, dtype=jnp.uint32) // jnp.uint32(W))
+            * jnp.uint32(n_pad)
+        )[:, None]
+        flat = (order.astype(jnp.uint32) + seg_off).reshape(-1)
+        x = jnp.take(jnp.transpose(points_x, (1, 0)), flat, axis=1)
+        y = jnp.take(jnp.transpose(points_y, (1, 0)), flat, axis=1)
+        z = jnp.take(jnp.transpose(points_z, (1, 0)), flat, axis=1)
+        dig = jnp.take_along_axis(d, order, axis=1).reshape(-1)
+        z = jnp.where((dig == 0)[None, :], jnp.zeros_like(z), z)
+        return x, y, z, dig
+
+    return jax.jit(f) if _on_accel() else f
+
+
+def _device_partials_seg(
+    jobs, base, scalar, n_pad: int
+) -> Tuple[jnp.ndarray, int, int]:
+    """S padded same-size MSMs through ONE device pipeline (prologue,
+    levels, flush, bit-plane tree) with W_total = S*W windows. Returns
+    ((L, 3*c*S*W) U partials, c, W). Cuts the per-MSM fixed pipeline cost
+    (the KZG quotient-open wall: 16 sizes = 16 pipelines) by ~S."""
+    S = len(jobs)
+    c = _best_c(n_pad, scalar.num_bits)
+    B = 1 << c
+    W = -(-scalar.num_bits // c)
+    Wt = S * W
+
+    def padded(points, scal):
+        n = scal.shape[0]
+        if n == n_pad:
+            return points, scal
+        pad = n_pad - n
+        from halo2_lasso_tpu.ops.ec import identity_point
+
+        idp = identity_point((pad,), base)
+        return (
+            {k: jnp.concatenate([v, idp[k]]) for k, v in points.items()},
+            jnp.concatenate([scal, jnp.zeros((pad, scal.shape[1]), jnp.uint32)]),
+        )
+
+    pts_l, scal_l = zip(*(padded(p, s) for p, s in jobs))
+    px = jnp.concatenate([p["x"] for p in pts_l])
+    py = jnp.concatenate([p["y"] for p in pts_l])
+    pz = jnp.concatenate([p["z"] for p in pts_l])
+    scal = jnp.concatenate(scal_l)
+
+    x, y, z, dig = _prologue_seg_fn(c, W, S, n_pad, base, scalar)(px, py, pz, scal)
+
+    bx = jnp.zeros((L, Wt * B), jnp.uint32)
+    by = jnp.zeros((L, Wt * B), jnp.uint32)
+    bz = jnp.zeros((L, Wt * B), jnp.uint32)
+
+    m = Wt * n_pad
+    while m > Wt:
+        x, y, z, dig, bx, by, bz = _level_fn(m, Wt, B, base)(
+            x, y, z, dig, bx, by, bz
+        )
+        m //= 2
+
+    bx, by, bz = _final_flush_fn(Wt, B, base)(x, y, z, dig, bx, by, bz)
+
+    tx, ty, tz = _bitplane_expand_fn(c, Wt, B, base)(bx, by, bz)
+    groups = c * Wt
+    while tx.shape[1] > groups:
+        tx, ty, tz = _tree_level_fn(tx.shape[1], groups, base)(tx, ty, tz)
+    return jnp.concatenate([tx, ty, tz], axis=1), c, W
+
+
+def _finish_host_segments(all_u, c: int, W: int, S: int, mod: int):
+    """Per-segment power-of-two recombination of a segmented partial stack:
+    partial layout is [j * (S*W) + s*W + w]; segment s reads the (c, W)
+    sub-grid at its window block."""
+    Wt = S * W
+    groups = c * Wt
+    ux, uy, uz = all_u[:groups], all_u[groups : 2 * groups], all_u[2 * groups :]
+    totals = []
+    for s in range(S):
+        seg = np.empty(3 * c * W, dtype=object)
+        for j in range(c):
+            for w in range(W):
+                src = j * Wt + s * W + w
+                dst = j * W + w
+                seg[dst] = ux[src]
+                seg[c * W + dst] = uy[src]
+                seg[2 * c * W + dst] = uz[src]
+        totals.append(_finish_host(seg, c, W, mod))
+    return totals
+
+
 def _finish_host(all_u, c: int, W: int, mod: int) -> Tuple[int, int, int]:
     """sum_{w,j} 2^{c*w+j} * U_{w,j} — the inherently sequential 254-bit
     power-of-two recombination, in host bigints (microseconds)."""

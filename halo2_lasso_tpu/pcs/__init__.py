@@ -121,9 +121,12 @@ def additive_batch_open(
 
     tilde_gs_sum = sum(ev.value * eq_i for ev, eq_i in zip(evals, eq_xt)) % p
 
-    challenges, _ = sum_check.prove_coeff_products(
-        spec, num_vars, [(s, e, a) for s, e, a, _ in terms], tilde_gs_sum, transcript
-    )
+    from halo2_lasso_tpu.utils.timer import timed
+
+    with timed.scope("batch_open_sumcheck"):
+        challenges, _ = sum_check.prove_coeff_products(
+            spec, num_vars, [(s, e, a) for s, e, a, _ in terms], tilde_gs_sum, transcript
+        )
 
     # g' = sum_j (scalar_j * eq_xy_eval(challenges, point_j)) * merged_j
     g_prime = None
@@ -132,7 +135,8 @@ def additive_batch_open(
         contrib = F.mont_mul(spec, arr, jnp.asarray(spec.encode([coef]))[0][None, :])
         g_prime = contrib if g_prime is None else F.add(spec, g_prime, contrib)
 
-    pcs.open(pp, g_prime, challenges, None, transcript)
+    with timed.scope("batch_open_pcs_open"):
+        pcs.open(pp, g_prime, challenges, None, transcript)
 
 
 def additive_batch_verify(

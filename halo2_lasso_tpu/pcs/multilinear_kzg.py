@@ -170,7 +170,10 @@ class MultilinearKzg(PointCommitmentIO):
         eval_: Optional[int],
         transcript: Keccak256Transcript,
     ) -> None:
-        quotients, _rem = MultilinearKzg.quotient_polys(evals, point)
+        from halo2_lasso_tpu.utils.timer import timed
+
+        with timed.scope("kzg_quotient_polys"):
+            quotients, _rem = MultilinearKzg.quotient_polys(evals, point)
         from halo2_lasso_tpu.config import sanity_enabled
 
         if sanity_enabled() and eval_ is not None:
@@ -178,7 +181,8 @@ class MultilinearKzg(PointCommitmentIO):
             got = F.decode_scalar(Fr, np.asarray(_rem))
             assert got == eval_ % Fr.modulus, "kzg open remainder != claimed eval"
         # all k quotient MSMs dispatch async with a single host pull
-        comms = ec.msm_list_to_affine_int([(pp.eqs[i], q) for i, q in quotients])
+        with timed.scope("kzg_quotient_msms"):
+            comms = ec.msm_list_to_affine_int([(pp.eqs[i], q) for i, q in quotients])
         transcript.write_commitments(comms)
 
     @staticmethod

@@ -85,7 +85,8 @@ def main() -> None:
                 for k in range(4, 13):
                     record("hyperplonk", k, ps.bench_hyperplonk("vanilla_plonk", k, 1))
             elif step == "arx":
-                record("arx_chain", 10, ps.bench_arx_chain(10, 1))
+                kk = int(os.environ.get("RECORD_ARX_K", "14"))
+                record("arx_chain", kk, ps.bench_arx_chain(kk, 1))
             elif step == "lasso_and_big":
                 kk = int(os.environ.get("RECORD_BIG_K", "18"))
                 record("lasso_and", kk, ps.bench_lasso("lasso_and", kk, 1))

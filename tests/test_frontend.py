@@ -1,7 +1,10 @@
 """Frontend circuit-builder test: build a small fibonacci-ish circuit with
 gates + copy constraints + an instance column, prove and verify e2e."""
 
+import os
+
 import numpy as np
+import pytest
 
 from halo2_lasso_tpu.backend.hyperplonk import HyperPlonk, new_transcript
 from halo2_lasso_tpu.frontend.builder import CircuitBuilder
@@ -139,6 +142,28 @@ def test_arx_chain_e2e():
     from halo2_lasso_tpu.frontend.arx import arx_chain_circuit
 
     info, circuit = arx_chain_circuit(4, word_bits=8, chunk_bits=4, rot=3)
+    assert info.is_well_formed()
+    param = HyperPlonk.setup(info, np.random.RandomState(0))
+    pp, vp = HyperPlonk.preprocess(param, info)
+    tw = new_transcript()
+    HyperPlonk.prove(pp, circuit, tw)
+    tr = new_transcript(tw.into_proof())
+    HyperPlonk.verify(vp, circuit.instances(), tr)
+
+
+_BIG = os.environ.get("HALO2_LASSO_TPU_BIG_TESTS", "0") == "1"
+
+
+@pytest.mark.skipif(not _BIG, reason="HALO2_LASSO_TPU_BIG_TESTS=1 for the 32-bit ARX chain")
+def test_arx_chain_32bit_k14():
+    """Structured circuit at non-toy scale (VERDICT r4 Next #5): full 32-bit
+    ARX words, 8-bit xor chunks (2^16 Surge subtables), 2^14 rows through
+    the complete backend — the stepping stone to BASELINE config 4's 2^22.
+    Reference counterpart: benchmark sha256 k>=17 runs
+    (/root/reference/benchmark/benches/proof_system.rs:150-251)."""
+    from halo2_lasso_tpu.frontend.arx import arx_chain_circuit
+
+    info, circuit = arx_chain_circuit(14)
     assert info.is_well_formed()
     param = HyperPlonk.setup(info, np.random.RandomState(0))
     pp, vp = HyperPlonk.preprocess(param, info)

@@ -82,3 +82,22 @@ def test_grumpkin():
     ra = ec.jacobian_to_affine({k: v[None] for k, v in ref.items()}, spec=G.base)
     ga = ec.jacobian_to_affine({k: v[None] for k, v in got.items()}, spec=G.base)
     assert (ra == ga).all()
+
+
+def test_msm_list_segmented_grouping():
+    """msm_list_to_affine_int groups mixed-size jobs into segmented
+    pipelines (S*W windows, ec.py LANE_BUDGET grouping); results must equal
+    per-job reference MSMs. Mirrors the KZG quotient-open shape (one MSM
+    per variable, descending sizes + small tail)."""
+    sizes = [2048, 1024, 1024, 256, 16]
+    jobs = []
+    for i, n in enumerate(sizes):
+        pts = rand_points(n)
+        sc = [int.from_bytes(RNG.bytes(40), "little") % P for _ in range(n)]
+        if i == 2:
+            sc = [0] * n  # an all-zero segment -> identity commitment
+        jobs.append((pts, jnp.asarray(Fr.encode(sc))))
+    got = ec.msm_list_to_affine_int(jobs)
+    for (pts, scal), out in zip(jobs, got):
+        ref = ec.msm_to_affine_int(pts, scal)
+        assert out == ref
