@@ -318,14 +318,10 @@ class HyperPlonk:
                     num_vars,
                     transcript,
                 )
-            xm_dev = jnp.asarray(spec.encode(x_m))
             lasso_offset = len(polys) - len(lasso_flat)
-            # one stacked device->host pull for all openings (per-poly pulls
-            # cost one tunnel round-trip each)
-            stacked = jnp.stack(
-                [mle.evaluate(spec, poly, xm_dev) for poly in lasso_flat]
-            )
-            xm_vals = [int(v) for v in spec.decode(np.asarray(stacked))]
+            # one stacked fold chain + one device->host pull for all
+            # openings (per-poly pulls cost one tunnel round-trip each)
+            xm_vals = mle.evaluate_stacked_ints(spec, lasso_flat, x_m)
             transcript.write_field_elements(xm_vals)
             pt_idx = len(points)
             points = list(points) + [list(x_m)]
@@ -344,12 +340,8 @@ class HyperPlonk:
             with timed.scope("lasso_open_fc"):
                 for nv_n, members in groups.items():
                     xn = x_ns[nv_n]
-                    xn_dev = jnp.asarray(spec.encode(xn))
                     group_polys = [lasso_fcs[li][mi] for li, mi in members]
-                    stacked_n = jnp.stack(
-                        [mle.evaluate(spec, poly, xn_dev) for poly in group_polys]
-                    )
-                    vals = [int(v) for v in spec.decode(np.asarray(stacked_n))]
+                    vals = mle.evaluate_stacked_ints(spec, group_polys, xn)
                     transcript.write_field_elements(vals)
                     n_evals = [
                         Evaluation(j, 0, v) for j, v in enumerate(vals)

@@ -249,25 +249,19 @@ def prove(
     for j in range(alpha):
         evals.append(Evaluation(1 + len(dim_polys) + j, 1, e_evals_primary[j]))
     with timed.scope("lasso_open_evals"):
-        xm = jnp.asarray(spec.encode(x_m))
-        xm_vals = []
-        for poly_idx, poly in enumerate(polys):
-            val = _decode_scalar(mle.evaluate(spec, poly, xm))
-            xm_vals.append(val)
+        # one stacked fold chain + one pull for ALL m-sized evals
+        xm_vals = mle.evaluate_stacked_ints(spec, polys, x_m)
+        for poly_idx, val in enumerate(xm_vals):
             evals.append(Evaluation(poly_idx, 2, val))
         transcript.write_field_elements(xm_vals)
     with timed.scope("lasso_batch_open_m"):
         pcs.batch_open(pp, polys, None, points, evals, transcript)
 
     # final_cts at x_n
-    n_evals = []
     with timed.scope("lasso_batch_open_n"):
-        xn = jnp.asarray(spec.encode(x_n))
-        for j, poly in enumerate(fc_polys):
-            n_evals.append(
-                Evaluation(j, 0, _decode_scalar(mle.evaluate(spec, poly, xn)))
-            )
-        transcript.write_field_elements([e.value for e in n_evals])
+        n_vals = mle.evaluate_stacked_ints(spec, fc_polys, x_n)
+        n_evals = [Evaluation(j, 0, v) for j, v in enumerate(n_vals)]
+        transcript.write_field_elements(n_vals)
         pcs.batch_open(pp, fc_polys, None, [x_n], n_evals, transcript)
 
 

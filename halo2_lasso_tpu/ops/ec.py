@@ -588,7 +588,11 @@ def msm_list_to_affine_int(
     # count — dominated the prover's open phase (measured 3.25s/open with
     # one pipeline per size). Lane budget caps group HBM; jobs too big to
     # group fall back to the sliced single-MSM path.
-    LANE_BUDGET = int(os.environ.get("HALO2_LASSO_TPU_MSM_GROUP_LANES", str(4 << 20)))
+    # DEFAULT OFF: the W'=S*W level modules are fresh XLA shapes; on the
+    # axon TPU stack a S=4/W'=104 group took ~22min to compile and then
+    # crashed remote_compile (response truncated). Until the compile cost
+    # is survivable, grouping is opt-in for experiments.
+    LANE_BUDGET = int(os.environ.get("HALO2_LASSO_TPU_MSM_GROUP_LANES", "0"))
     large_jobs.sort(key=lambda t: -t[3])
     seg_groups: List[List] = []
     singles: List = []

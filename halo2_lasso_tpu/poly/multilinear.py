@@ -123,6 +123,39 @@ def evaluate_many(spec: FieldSpec, evals: jnp.ndarray, xs: jnp.ndarray) -> jnp.n
     return jax.vmap(lambda x: evaluate(spec, evals, x))(xs)
 
 
+_EVAL_STACK_FNS: dict = {}
+
+
+def evaluate_stacked_ints(spec: FieldSpec, polys, x) -> list:
+    """Evaluate MANY MLEs (same size) at ONE point: [(2^k, L)] + host point
+    ints -> list of canonical ints, with a single jitted fold chain over the
+    stacked (P, 2^k, L) array and ONE device->host pull (a per-poly
+    evaluate+decode costs a full tunnel round-trip each — ~65ms x P in the
+    prover's open phase)."""
+    P = len(polys)
+    k = len(x)
+    key = (spec.name, P, k)
+    fn = _EVAL_STACK_FNS.get(key)
+    if fn is None:
+
+        @jax.jit
+        def fn(stacked, xd):
+            for i in range(k):
+                e0 = stacked[:, 0::2]
+                e1 = stacked[:, 1::2]
+                stacked = F.add(
+                    spec,
+                    F.mont_mul(spec, F.sub(spec, e1, e0), xd[i][None, None, :]),
+                    e0,
+                )
+            return stacked[:, 0]
+
+        _EVAL_STACK_FNS[key] = fn
+    xd = jnp.asarray(spec.encode(list(x)))
+    out = fn(jnp.stack(list(polys)), xd)
+    return [int(v) for v in spec.decode(np.asarray(out))]
+
+
 # ---------------------------------------------------------------------------
 # MLE wrapper
 # ---------------------------------------------------------------------------

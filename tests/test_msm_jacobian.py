@@ -84,11 +84,13 @@ def test_grumpkin():
     assert (ra == ga).all()
 
 
-def test_msm_list_segmented_grouping():
+def test_msm_list_segmented_grouping(monkeypatch):
     """msm_list_to_affine_int groups mixed-size jobs into segmented
     pipelines (S*W windows, ec.py LANE_BUDGET grouping); results must equal
     per-job reference MSMs. Mirrors the KZG quotient-open shape (one MSM
-    per variable, descending sizes + small tail)."""
+    per variable, descending sizes + small tail). Grouping is default-off
+    (axon compile cost); force it on here."""
+    monkeypatch.setenv("HALO2_LASSO_TPU_MSM_GROUP_LANES", str(4 << 20))
     sizes = [2048, 1024, 1024, 256, 16]
     jobs = []
     for i, n in enumerate(sizes):
