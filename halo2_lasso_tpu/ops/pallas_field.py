@@ -298,45 +298,72 @@ def make_fold_all(spec: FieldSpec, keys):
     keys = list(keys)
     nin = len(keys)
 
-    def kernel(*refs):
-        lo_refs = refs[:nin]
-        hi_refs = refs[nin : 2 * nin]
-        x_ref = refs[2 * nin]
-        out_refs = refs[2 * nin + 1 :]
-        x = x_ref[:]
-        like = lo_refs[0][:][0]
-        xrows = _scalar_rows(x, L, like.shape)
-        for lref, href, fref in zip(lo_refs, hi_refs, out_refs):
-            lo = lref[:]
-            hi = href[:]
-            los = [lo[i] for i in range(L)]
-            his = [hi[i] for i in range(L)]
-            diff = _sub_rows(spec, his, los)
-            prod = _mul_rows(spec, diff, xrows)
-            folded = _add_rows(spec, prod, los)
-            fref[:] = jnp.stack(folded, axis=0)
+    # scoped-VMEM budget: each table needs lo+hi+out tiles, double-buffered.
+    # 48-table states (ARX: 8 advice x rotations + selectors + eq) blew the
+    # 16MB scoped-vmem limit in ONE call (measured 18MB); chunk the table
+    # set so each pallas_call stays well under it.
+    def _max_tables_per_call(tile: int) -> int:
+        tile_bytes = L * tile * LANE * 4
+        budget = 12 << 20
+        return max(1, budget // (3 * 2 * tile_bytes))
+
+    def _make_call(group_n: int, tile: int, Sh: int):
+        gkernel = _group_kernel(group_n)
+        spec3 = pl.BlockSpec(
+            (L, tile, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+        in_specs = [spec3] * (2 * group_n) + [
+            pl.BlockSpec((L, LANE), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        ]
+        return gkernel, spec3, in_specs
+
+    def _group_kernel(group_n: int):
+        def kern(*refs):
+            lo_refs = refs[:group_n]
+            hi_refs = refs[group_n : 2 * group_n]
+            x_ref = refs[2 * group_n]
+            out_refs = refs[2 * group_n + 1 :]
+            x = x_ref[:]
+            like = lo_refs[0][:][0]
+            xrows = _scalar_rows(x, L, like.shape)
+            for lref, href, fref in zip(lo_refs, hi_refs, out_refs):
+                lo = lref[:]
+                hi = href[:]
+                los = [lo[i] for i in range(L)]
+                his = [hi[i] for i in range(L)]
+                diff = _sub_rows(spec, his, los)
+                prod = _mul_rows(spec, diff, xrows)
+                folded = _add_rows(spec, prod, los)
+                fref[:] = jnp.stack(folded, axis=0)
+
+        return kern
 
     @jax.jit
     def fold_fn(tables: dict, x):
         S = tables[keys[0]].shape[1]
         Sh = S // 2
         tile = min(TILE_S, Sh)
-        los = [tables[k][:, :Sh, :] for k in keys]
-        his = [tables[k][:, Sh:, :] for k in keys]
-        spec3 = pl.BlockSpec(
-            (L, tile, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-        )
-        in_specs = [spec3] * (2 * nin) + [
-            pl.BlockSpec((L, LANE), lambda i: (0, 0), memory_space=pltpu.VMEM)
-        ]
-        outs = pl.pallas_call(
-            kernel,
-            grid=(Sh // tile,),
-            in_specs=in_specs,
-            out_specs=[spec3] * nin,
-            out_shape=[jax.ShapeDtypeStruct((L, Sh, LANE), jnp.uint32)] * nin,
-        )(*los, *his, _lane_bcast(x))
-        return {k: v for k, v in zip(keys, outs)}
+        xb = _lane_bcast(x)
+        out = {}
+        maxg = _max_tables_per_call(tile)
+        for off in range(0, nin, maxg):
+            gkeys = keys[off : off + maxg]
+            gn = len(gkeys)
+            gkernel, spec3, in_specs = _make_call(gn, tile, Sh)
+            los = [tables[k][:, :Sh, :] for k in gkeys]
+            his = [tables[k][:, Sh:, :] for k in gkeys]
+            outs = pl.pallas_call(
+                gkernel,
+                grid=(Sh // tile,),
+                in_specs=in_specs,
+                out_specs=[spec3] * gn,
+                out_shape=[jax.ShapeDtypeStruct((L, Sh, LANE), jnp.uint32)] * gn,
+            )(*los, *his, xb)
+            if gn == 1:
+                outs = [outs] if not isinstance(outs, (list, tuple)) else outs
+            for k, v in zip(gkeys, outs):
+                out[k] = v
+        return out
 
     return fold_fn
 

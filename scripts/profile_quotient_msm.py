@@ -110,7 +110,43 @@ def profile_size(n: int) -> None:
         )
 
 
+def seg_experiment(n_pad: int, S: int) -> None:
+    """Compile + run one segmented pipeline (S x n_pad) and time it — the
+    go/no-go check for enabling quotient grouping on this stack."""
+    print(f"== seg S={S} n_pad={n_pad}")
+    rng = np.random.RandomState(5)
+    jobs = []
+    for s in range(S):
+        n = n_pad >> s
+        ms = [int(v) for v in rng.randint(1, 1 << 30, size=n)]
+        pts = ec.fixed_base_msm(ec.g1_generator(), jnp.asarray(Fr.encode(ms)), 30)
+        sc = [int.from_bytes(rng.bytes(40), "little") % Fr.modulus for _ in range(n)]
+        jobs.append((pts, jnp.asarray(Fr.encode(sc))))
+    t0 = time.perf_counter()
+    tcat, c, W = MJ._device_partials_seg(jobs, Fq, Fr, n_pad)
+    jax.block_until_ready(tcat)
+    print(f"  first run (incl compile): {time.perf_counter()-t0:.1f}s")
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        tcat, c, W = MJ._device_partials_seg(jobs, Fq, Fr, n_pad)
+        jax.block_until_ready(tcat)
+        ts.append(time.perf_counter() - t0)
+    print(f"  warm: {min(ts)*1e3:.1f}ms")
+    all_u = Fq.decode(np.asarray(tcat).T)
+    segs = MJ._finish_host_segments(all_u, c, W, S, Fq.modulus)
+    for (pts, scal), got in zip(jobs, segs):
+        ref = ec.msm_to_affine_int(pts, scal)
+        aff = MJ._host_batch_affine([got], Fq.modulus)[0]
+        assert (int(aff[0]), int(aff[1])) == ref, "seg mismatch"
+    print("  results match per-job MSMs")
+
+
 if __name__ == "__main__":
-    sizes = [int(a) for a in sys.argv[1:]] or [1024, 4096, 32768]
-    for n in sizes:
-        profile_size(n)
+    if sys.argv[1:] and sys.argv[1] == "seg":
+        seg_experiment(int(sys.argv[2]) if len(sys.argv) > 2 else 8192,
+                       int(sys.argv[3]) if len(sys.argv) > 3 else 2)
+    else:
+        sizes = [int(a) for a in sys.argv[1:]] or [1024, 4096, 32768]
+        for n in sizes:
+            profile_size(n)
