@@ -564,9 +564,18 @@ def prove(
     points = list(range(degree + 1))
     weights = barycentric_weights(p, points)
 
-    # pallas fast path: limbs-first tables + fused kernels for big rounds
+    # pallas fast path: limbs-first tables + fused kernels for big rounds.
+    # The fused ROUND kernel holds every leaf table's lo/hi tiles in scoped
+    # VMEM at once; wide states (ARX: 70+ leaves) exceed the 16MB limit and
+    # crash the server-side Mosaic compile (measured 18.25MB at 73 leaves),
+    # so those fall back to the chunked-jnp path (XLA tiles it freely).
     PALLAS_MIN = 4096
-    use_pallas = _pallas_enabled() and (1 << num_vars) >= PALLAS_MIN
+    PALLAS_MAX_LEAVES = int(os.environ.get("HALO2_LASSO_TPU_PALLAS_MAX_LEAVES", "40"))
+    use_pallas = (
+        _pallas_enabled()
+        and (1 << num_vars) >= PALLAS_MIN
+        and len(keys) <= PALLAS_MAX_LEAVES
+    )
     lf_tables = None
     chal_lf = None
     if use_pallas:
