@@ -222,13 +222,16 @@ def prove(
 
     # ps=None: pure grand products (GKR skips the zero numerators entirely)
     with timed.scope("lasso_grand_products_m"):
+        qs_m = rs_polys + ws_polys
+        del rs_polys, ws_polys  # GKR consumes the list (HBM: b x 2^k each)
         _, _, x_m, _ = gkr.prove_fractional_sum_check(
             [0] * (2 * alpha),
             [None] * (2 * alpha),
             [None] * (2 * alpha),
-            rs_polys + ws_polys,
+            qs_m,
             transcript,
         )
+        del qs_m
     with timed.scope("lasso_grand_products_n"):
         _, _, x_n, _ = gkr.prove_fractional_sum_check(
             [0] * (2 * alpha),

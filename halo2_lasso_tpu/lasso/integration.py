@@ -411,9 +411,12 @@ def prove_memory_check(
             )
     nb = 2 * len(rs)
     # ps=None: pure grand products (GKR skips the zero numerators entirely)
+    qs_m = rs + ws
+    del rs, ws  # GKR consumes the list (HBM: b x 2^k fingerprint arrays)
     _, _, x_m, _ = gkr.prove_fractional_sum_check(
-        [0] * nb, [None] * nb, [None] * nb, rs + ws, transcript
+        [0] * nb, [None] * nb, [None] * nb, qs_m, transcript
     )
+    del qs_m
 
     x_ns: Dict[int, List[int]] = {}
     for nv_n, members in _n_groups(layouts).items():

@@ -51,10 +51,16 @@ def init_process(
     if local_devices is not None:
         jax.config.update("jax_num_cpu_devices", local_devices)
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    # generous heartbeat/shutdown windows: on an oversubscribed host one
+    # process can lag minutes behind its peers between collectives (the CPU
+    # dryrun proves twice per process); the defaults (100s/300s) then fail
+    # the shutdown barrier even though every process completes correctly
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
+        heartbeat_timeout_seconds=600,
+        shutdown_timeout_seconds=1800,
     )
 
 

@@ -219,11 +219,37 @@ def prove_fractional_sum_check(
             host_m = min(host_m, 2 * mesh.size - 1)
 
     nq = 2 if pure else 4  # quadrants per batch element in the flat views
-    qs_st = _place_sharded(jnp.stack(qs))
-    mid = qs_st.shape[1] // 2
+
+    from halo2_lasso_tpu.config import sanity_enabled
+
     if pure:
-        stacked = (qs_st[:, :mid], qs_st[:, mid:])
+        # HBM discipline (the k=20 memory check OOMed 15.75G here): build
+        # the bottom quadrant stacks DIRECTLY and consume the caller's
+        # input list as we go — a full-size jnp.stack(qs) plus half-slices
+        # would carry 3 copies of b*2^n elements (12GB at b=16, n=20).
+        # Mutating `qs` releases the fingerprint arrays the caller no
+        # longer needs (memory-check callers pass a dedicated list); under
+        # sanity the originals are kept for the final-claim check.
+        qs = list(qs) if sanity_enabled() else qs
+        ql_list, qr_list = [], []
+        consume = isinstance(qs, list) and not sanity_enabled()
+        for i in range(num_batching):
+            q = qs[i]
+            m2 = q.shape[0] // 2
+            ql_list.append(q[:m2])
+            qr_list.append(q[m2:])
+            if consume:
+                qs[i] = None
+            del q
+        ql_st = _place_sharded(jnp.stack(ql_list))
+        ql_list = None
+        qr_st = _place_sharded(jnp.stack(qr_list))
+        qr_list = None
+        stacked = (ql_st, qr_st)
+        del ql_st, qr_st
     else:
+        qs_st = _place_sharded(jnp.stack(qs))
+        mid = qs_st.shape[1] // 2
         ps_st = _place_sharded(jnp.stack(ps))  # (b, 2^n, L)
         stacked = (
             ps_st[:, :mid],
@@ -231,7 +257,12 @@ def prove_fractional_sum_check(
             qs_st[:, :mid],
             qs_st[:, mid:],
         )
+    # layers hold STACKED quadrant tuples; the per-batch flat views the
+    # sumcheck consumes are materialized lazily in the descent loop and
+    # freed right after (each materialization is a device copy — keeping
+    # every layer's flat views alive doubled HBM at k=20)
     layers_st = [stacked]
+    del stacked
     while layers_st[-1][0].shape[1] > max(1, host_m):
         nxt_st = (
             _layer_up_stacked_q(*layers_st[-1])
@@ -240,12 +271,7 @@ def prove_fractional_sum_check(
         )
         layers_st.append(nxt_st)
 
-    # flat quadrant views for the per-layer sumchecks:
-    # [p_l, p_r, q_l, q_r]*b, or [q_l, q_r]*b in pure mode
-    layers = [
-        [st[j][i] for i in range(num_batching) for j in range(nq)]
-        for st in layers_st
-    ]
+    layers: List = list(layers_st)
 
     if host_m:
         from halo2_lasso_tpu.ops.host_field import HVec
@@ -255,6 +281,7 @@ def prove_fractional_sum_check(
         last = layers_st.pop()
         layers.pop()
         raw = np.asarray(jnp.stack(last))  # (nq, b, m, L)
+        del last
         packed = hctx.pack_u32(raw)
         cur = [
             [HVec(hctx, packed[j][i]) for j in range(nq)]
@@ -280,8 +307,17 @@ def prove_fractional_sum_check(
                     nxt.append([pn[:mid2], pn[mid2:], qn[:mid2], qn[mid2:]])
             cur = nxt
 
+    def _flat(entry):
+        """Materialize a stacked tuple into the per-batch flat view the
+        sumcheck consumes (host layers are stored flat already)."""
+        if isinstance(entry, tuple):
+            return [entry[j][i] for i in range(num_batching) for j in range(nq)]
+        return entry
+
+    del layers_st
+
     # top-layer claims
-    top = layers[-1]
+    top = _flat(layers[-1])
     p_0s, q_0s = [], []
     for i in range(num_batching):
         if host_m:
@@ -311,9 +347,11 @@ def prove_fractional_sum_check(
     top_claims = (list(p_0s), list(q_0s))
     claimed_p_ys, claimed_q_ys = p_0s, q_0s
     y: List[int] = []
-    for layer in reversed(layers):
+    for layer_idx in range(len(layers) - 1, -1, -1):
         from halo2_lasso_tpu.ops.host_field import HVec
 
+        layer = _flat(layers[layer_idx])
+        layers[layer_idx] = None  # free the stacked copy before the sumcheck
         is_host = isinstance(layer[0], HVec)
         nv = (len(layer[0]) if is_host else layer[0].shape[0]).bit_length() - 1
         if nv == 0:
@@ -326,7 +364,9 @@ def prove_fractional_sum_check(
             gamma = transcript.squeeze_challenge()
             claim = _sum_check_claim(claimed_p_ys, claimed_q_ys, gamma, p)
             vp = sum_check.VirtualPolynomial(expression, layer, [gamma], [y])
+            del layer
             x, evals = sum_check.prove(spec, nv, vp, claim, transcript)
+            del vp
         if pure:
             # interleave the structurally-zero p evals back into the wire
             # layout [p_l, p_r, q_l, q_r]*b — byte parity with full mode

@@ -578,10 +578,15 @@ def prove(
     )
     lf_tables = None
     chal_lf = None
+    HOST_TAIL = host_tail_size(len(arrays))
     if use_pallas:
         from halo2_lasso_tpu.ops import pallas_field as PF
 
         lf_tables = {k: PF.to_lf(v) for k, v in arrays.items()}
+        # the uint32 row-major copies are re-derived from the lf tables at
+        # the pallas->host/jnp transitions; keeping both doubles HBM for
+        # the largest sumchecks (4GB at a k=20 GKR bottom layer)
+        arrays = None
         if virtual_poly.challenges:
             chal_lf = jnp.asarray(spec.encode(list(virtual_poly.challenges)))
 
@@ -603,10 +608,9 @@ def prove(
         chal_stack = shd.replicate(mesh, chal_stack)
         sharded_now = True
 
-    # below this size the remaining rounds run on HOST (C field kernels or
-    # object-int fallback): one stacked pull, zero further device
-    # round-trips (matching proof bytes exactly)
-    HOST_TAIL = host_tail_size(len(arrays))
+    # below HOST_TAIL (computed above) the remaining rounds run on HOST
+    # (C field kernels or object-int fallback): one stacked pull, zero
+    # further device round-trips (matching proof bytes exactly)
     host_arrays = None
 
     for rnd in range(num_vars):
