@@ -134,25 +134,42 @@ def evaluate_stacked_ints(spec: FieldSpec, polys, x) -> list:
     prover's open phase)."""
     P = len(polys)
     k = len(x)
-    key = (spec.name, P, k)
-    fn = _EVAL_STACK_FNS.get(key)
-    if fn is None:
-
-        @jax.jit
-        def fn(stacked, xd):
-            for i in range(k):
-                e0 = stacked[:, 0::2]
-                e1 = stacked[:, 1::2]
-                stacked = F.add(
-                    spec,
-                    F.mont_mul(spec, F.sub(spec, e1, e0), xd[i][None, None, :]),
-                    e0,
-                )
-            return stacked[:, 0]
-
-        _EVAL_STACK_FNS[key] = fn
+    if P == 0:
+        return []
+    # chunk the stack: the first fold's mont_mul materializes a
+    # (chunk, 2^(k-1), L, 2L) schoolbook intermediate (~320B/element) — an
+    # unchunked 40-poly stack at k=20 asked for 13GB of HBM in one pad op
+    budget = 1 << 22
+    chunk = max(1, budget // max(1, 1 << k))
     xd = jnp.asarray(spec.encode(list(x)))
-    out = fn(jnp.stack(list(polys)), xd)
+    outs = []
+    for off in range(0, P, chunk):
+        group = list(polys[off : off + chunk])
+        key = (spec.name, len(group), k)
+        fn = _EVAL_STACK_FNS.get(key)
+        if fn is None:
+
+            def make(kk):
+                @jax.jit
+                def fn(stacked, xd):
+                    for i in range(kk):
+                        e0 = stacked[:, 0::2]
+                        e1 = stacked[:, 1::2]
+                        stacked = F.add(
+                            spec,
+                            F.mont_mul(
+                                spec, F.sub(spec, e1, e0), xd[i][None, None, :]
+                            ),
+                            e0,
+                        )
+                    return stacked[:, 0]
+
+                return fn
+
+            fn = make(k)
+            _EVAL_STACK_FNS[key] = fn
+        outs.append(fn(jnp.stack(group), xd))
+    out = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
     return [int(v) for v in spec.decode(np.asarray(out))]
 
 
